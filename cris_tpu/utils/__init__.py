@@ -1,0 +1,28 @@
+from .config import CfgNode, load_cfg_from_cfg_file, merge_cfg_from_list
+from .logging import (
+    AverageMeter,
+    ExperimentTracker,
+    ProgressMeter,
+    logger,
+    setup_logger,
+)
+from .seed import epoch_key, init_random_seed, root_key, worker_seed
+from .tokenizer import ClipBPETokenizer, get_tokenizer, tokenize
+
+__all__ = [
+    "CfgNode",
+    "load_cfg_from_cfg_file",
+    "merge_cfg_from_list",
+    "AverageMeter",
+    "ProgressMeter",
+    "ExperimentTracker",
+    "logger",
+    "setup_logger",
+    "init_random_seed",
+    "root_key",
+    "epoch_key",
+    "worker_seed",
+    "ClipBPETokenizer",
+    "get_tokenizer",
+    "tokenize",
+]

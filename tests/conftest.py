@@ -1,0 +1,55 @@
+"""Test fixtures: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes (SURVEY.md §4: multi-device tests
+on CPU via --xla_force_host_platform_device_count).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def add_reference_to_path():
+    """Make the (read-only, torch-based) reference repo importable for
+    numerical parity tests. Stubs optional deps the reference imports at
+    module scope but that are absent in this environment."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import types
+
+    if "ftfy" not in sys.modules:
+        try:
+            import ftfy  # noqa: F401
+        except ImportError:
+            stub = types.ModuleType("ftfy")
+            stub.fix_text = lambda s: s  # RefCOCO text is ASCII-clean
+            sys.modules["ftfy"] = stub
+    for name in ("lmdb", "loguru", "wandb"):
+        if name in sys.modules:
+            continue
+        try:
+            __import__(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            if name == "loguru":
+                import logging
+
+                mod.logger = logging.getLogger("reference")
+                mod.logger.catch = lambda f: f
+            sys.modules[name] = mod

@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from cris_tpu.utils.tokenizer import get_tokenizer, tokenize
+
+from conftest import add_reference_to_path, has_reference
+
+SENTENCES = [
+    "the man in the red shirt",
+    "woman on the left holding an umbrella",
+    "A zebra to the right of two other zebras.",
+    "bottom-left sandwich half",
+    "guy wearing #12 jersey",
+    "the 2nd person from the right, she's wearing a blue dress",
+    "dark brown horse behind the fence (partially hidden)",
+    "pizza slice that isn't touched",
+]
+
+
+def test_vocab_size():
+    assert get_tokenizer().vocab_size == 49408
+
+
+def test_special_tokens():
+    tk = get_tokenizer()
+    assert tk.sot_token == 49406
+    assert tk.eot_token == 49407
+
+
+def test_tokenize_shape_and_padding():
+    out = tokenize(SENTENCES, 17, True)
+    assert out.shape == (len(SENTENCES), 17)
+    assert out.dtype == np.int32
+    # Every row starts with SOT and contains exactly one EOT.
+    assert (out[:, 0] == 49406).all()
+    assert ((out == 49407).sum(axis=1) == 1).all()
+
+
+def test_tokenize_truncation_keeps_eot_last():
+    long_sent = " ".join(["zebra"] * 40)
+    out = tokenize(long_sent, 17, True)
+    assert out.shape == (1, 17)
+    assert out[0, -1] == 49407
+    with pytest.raises(RuntimeError):
+        tokenize(long_sent, 17, False)
+
+
+def test_roundtrip_decode():
+    tk = get_tokenizer()
+    ids = tk.encode("the man in the red shirt")
+    assert tk.decode(ids).strip() == "the man in the red shirt"
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_parity_with_reference_tokenizer():
+    """Token-for-token parity with the reference BPE
+    (/root/reference/utils/simple_tokenizer.py)."""
+    add_reference_to_path()
+    from utils.simple_tokenizer import SimpleTokenizer as RefTokenizer
+
+    ref = RefTokenizer()
+    ours = get_tokenizer()
+    assert ours.encoder == ref.encoder
+    for sent in SENTENCES:
+        assert ours.encode(sent) == ref.encode(sent), sent
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_parity_with_reference_tokenize_wrapper():
+    add_reference_to_path()
+    from utils.simple_tokenizer import SimpleTokenizer as RefTokenizer
+
+    ref = RefTokenizer()
+    sot, eot = ref.encoder["<|startoftext|>"], ref.encoder["<|endoftext|>"]
+    for length in (17, 22):
+        ours = tokenize(SENTENCES, length, True)
+        for i, sent in enumerate(SENTENCES):
+            toks = [sot] + ref.encode(sent) + [eot]
+            if len(toks) > length:
+                toks = toks[:length]
+                toks[-1] = eot
+            expected = np.zeros(length, np.int32)
+            expected[: len(toks)] = toks
+            np.testing.assert_array_equal(ours[i], expected)
