@@ -1,0 +1,44 @@
+"""Per-sample text-conditioned 3x3 convolution (the Projector mask head).
+
+The reference realizes this as a grouped conv with groups=B over a
+(1, B*C, H, W) reshape (/root/reference/model/layers.py:71-82). Grouped
+convs with per-sample groups map poorly onto the MXU, so here the op is a
+shift-and-accumulate batched contraction: for each of the KxK taps, an
+einsum contracts channels between the shifted feature map and that tap's
+per-sample kernel slice. XLA fuses the K*K accumulations into one
+VPU/MXU-friendly loop; no im2col materialization, no group partitioning.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dynamic_conv2d(
+    x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, kernel_size: int = 3
+) -> jnp.ndarray:
+    """Applies a different KxK conv kernel to every sample of the batch.
+
+    Args:
+      x:      (B, H, W, C) feature maps.
+      weight: (B, C, K, K) per-sample kernels (one output channel each).
+      bias:   (B,) per-sample scalar bias.
+
+    Returns:
+      (B, H, W, 1) mask logits.
+    """
+    b, h, w, c = x.shape
+    k = kernel_size
+    pad = k // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    out = jnp.zeros((b, h, w), dtype=jnp.float32)
+    for dy in range(k):
+        for dx in range(k):
+            window = xp[:, dy : dy + h, dx : dx + w, :]
+            tap = weight[:, :, dy, dx]  # (B, C)
+            out = out + jnp.einsum(
+                "bhwc,bc->bhw", window, tap, preferred_element_type=jnp.float32
+            )
+    out = out + bias.astype(jnp.float32)[:, None, None]
+    return out[..., None].astype(x.dtype)

@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The container's sitecustomize pre-imports jax and pins JAX_PLATFORMS=axon
+# (the tunneled TPU). Tests must run on the virtual CPU mesh, and backend
+# selection happens lazily, so a config update here still wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)

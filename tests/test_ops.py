@@ -1,0 +1,195 @@
+"""Numerical parity of cris_tpu.ops against torch reference semantics."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from cris_tpu.ops import (
+    avg_pool2d,
+    causal_mask,
+    dot_product_attention,
+    dynamic_conv2d,
+    resize2d,
+    sincos_1d,
+    sincos_2d,
+    upsample2x,
+)
+
+
+def nchw(x_nhwc):
+    return torch.from_numpy(np.asarray(x_nhwc)).permute(0, 3, 1, 2).contiguous()
+
+
+def to_nhwc(t):
+    return t.permute(0, 2, 3, 1).numpy()
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw,method,align",
+    [
+        ((13, 13), (26, 26), "bilinear", False),   # FPN f5 upsample
+        ((26, 26), (52, 52), "bilinear", False),   # Projector upsample 1
+        ((52, 52), (104, 104), "bilinear", False), # Projector upsample 2
+        ((104, 104), (416, 416), "bicubic", True), # eval upsample
+        ((7, 7), (13, 13), "bicubic", False),      # attnpool pos-embed resize
+        ((20, 30), (17, 11), "bilinear", False),   # downsample, non-square
+        ((9, 9), (5, 5), "bicubic", True),
+        ((26, 26), (104, 104), "nearest", False),  # not used but supported
+    ],
+)
+def test_resize2d_matches_torch(in_hw, out_hw, method, align):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, in_hw[0], in_hw[1], 3).astype(np.float32)
+    kwargs = {} if method == "nearest" else {"align_corners": align}
+    ref = to_nhwc(
+        F.interpolate(nchw(x), size=out_hw, mode=method, **kwargs)
+    )
+    got = np.asarray(resize2d(jnp.asarray(x), out_hw, method, align))
+    # separable-matrix formulation accumulates taps in a different order
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=5e-5)
+
+
+def test_upsample2x_matches_torch_upsample_module():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 26, 26, 8).astype(np.float32)
+    up = torch.nn.Upsample(scale_factor=2, mode="bilinear")
+    ref = to_nhwc(up(nchw(x)))
+    got = np.asarray(upsample2x(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mask_downsample_nearest_matches_torch():
+    # segmenter.py:56-58 downsamples the GT mask with mode='nearest'.
+    rng = np.random.RandomState(2)
+    m = (rng.rand(2, 416, 416, 1) > 0.5).astype(np.float32)
+    ref = to_nhwc(F.interpolate(nchw(m), size=(104, 104), mode="nearest"))
+    got = np.asarray(resize2d(jnp.asarray(m), (104, 104), "nearest"))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_avg_pool2d_matches_torch():
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 52, 52, 16).astype(np.float32)
+    ref = to_nhwc(F.avg_pool2d(nchw(x), 2, 2))
+    got = np.asarray(avg_pool2d(jnp.asarray(x), 2, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_attention_matches_torch_mha():
+    torch.manual_seed(0)
+    B, S, E, H = 2, 10, 32, 4
+    mha = torch.nn.MultiheadAttention(E, H, batch_first=True)
+    x = torch.randn(B, S, E)
+    key_pad = torch.zeros(B, S, dtype=torch.bool)
+    key_pad[0, 7:] = True
+    with torch.no_grad():
+        ref, _ = mha(x, x, x, key_padding_mask=key_pad, need_weights=False)
+        # replicate the packed in-projection on the jax side
+        qkv = F.linear(x, mha.in_proj_weight, mha.in_proj_bias)
+        q, k, v = qkv.chunk(3, dim=-1)
+    out = dot_product_attention(
+        jnp.asarray(q.numpy()),
+        jnp.asarray(k.numpy()),
+        jnp.asarray(v.numpy()),
+        num_heads=H,
+        key_padding_mask=jnp.asarray(key_pad.numpy()),
+    )
+    out = out @ jnp.asarray(mha.out_proj.weight.detach().numpy()).T + jnp.asarray(
+        mha.out_proj.bias.detach().numpy()
+    )
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_attention_causal_matches_torch():
+    torch.manual_seed(1)
+    B, S, E, H = 2, 17, 64, 8
+    mha = torch.nn.MultiheadAttention(E, H, batch_first=True)
+    x = torch.randn(B, S, E)
+    tmask = torch.triu(torch.full((S, S), float("-inf")), diagonal=1)
+    with torch.no_grad():
+        ref, _ = mha(x, x, x, attn_mask=tmask, need_weights=False)
+        qkv = F.linear(x, mha.in_proj_weight, mha.in_proj_bias)
+        q, k, v = qkv.chunk(3, dim=-1)
+    out = dot_product_attention(
+        jnp.asarray(q.numpy()),
+        jnp.asarray(k.numpy()),
+        jnp.asarray(v.numpy()),
+        num_heads=H,
+        attn_mask=causal_mask(S),
+    )
+    out = out @ jnp.asarray(mha.out_proj.weight.detach().numpy()).T + jnp.asarray(
+        mha.out_proj.bias.detach().numpy()
+    )
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_dynamic_conv_matches_grouped_conv():
+    # Reference formulation: F.conv2d(x.reshape(1, B*C, H, W), w, groups=B)
+    # (/root/reference/model/layers.py:71-82).
+    rng = np.random.RandomState(4)
+    B, H, W, C, K = 3, 16, 16, 8, 3
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    w = rng.randn(B, C, K, K).astype(np.float32)
+    bias = rng.randn(B).astype(np.float32)
+    xt = nchw(x).reshape(1, B * C, H, W)
+    ref = F.conv2d(
+        xt, torch.from_numpy(w), bias=torch.from_numpy(bias), padding=K // 2, groups=B
+    ).transpose(0, 1)  # (B, 1, H, W)
+    got = np.asarray(
+        dynamic_conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias), K)
+    )
+    np.testing.assert_allclose(
+        got[..., 0], ref.squeeze(1).numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def _ref_pos1d(d_model, length):
+    import math
+
+    pe = torch.zeros(length, d_model)
+    position = torch.arange(0, length).unsqueeze(1)
+    div_term = torch.exp(
+        torch.arange(0, d_model, 2, dtype=torch.float)
+        * -(math.log(10000.0) / d_model)
+    )
+    pe[:, 0::2] = torch.sin(position.float() * div_term)
+    pe[:, 1::2] = torch.cos(position.float() * div_term)
+    return pe
+
+
+def test_sincos_1d_matches_reference_layout():
+    ref = _ref_pos1d(512, 22).numpy()
+    np.testing.assert_allclose(sincos_1d(512, 22), ref, rtol=1e-5, atol=1e-6)
+
+
+def _ref_pos2d(d_model, height, width):
+    import math
+
+    pe = torch.zeros(d_model, height, width)
+    d_half = int(d_model / 2)
+    div_term = torch.exp(
+        torch.arange(0.0, d_half, 2) * -(math.log(10000.0) / d_half)
+    )
+    pos_w = torch.arange(0.0, width).unsqueeze(1)
+    pos_h = torch.arange(0.0, height).unsqueeze(1)
+    pe[0:d_half:2, :, :] = (
+        torch.sin(pos_w * div_term).transpose(0, 1).unsqueeze(1).repeat(1, height, 1)
+    )
+    pe[1:d_half:2, :, :] = (
+        torch.cos(pos_w * div_term).transpose(0, 1).unsqueeze(1).repeat(1, height, 1)
+    )
+    pe[d_half::2, :, :] = (
+        torch.sin(pos_h * div_term).transpose(0, 1).unsqueeze(2).repeat(1, 1, width)
+    )
+    pe[d_half + 1 :: 2, :, :] = (
+        torch.cos(pos_h * div_term).transpose(0, 1).unsqueeze(2).repeat(1, 1, width)
+    )
+    return pe.reshape(d_model, height * width).T  # (HW, C)
+
+
+def test_sincos_2d_matches_reference_layout():
+    ref = _ref_pos2d(512, 26, 26).numpy()
+    np.testing.assert_allclose(sincos_2d(512, 26, 26), ref, rtol=1e-5, atol=1e-6)
