@@ -1,0 +1,95 @@
+"""Model registry and builder.
+
+``build_segmenter(cfg)`` mirrors /root/reference/model/__init__.py:32-49:
+it constructs the CRIS module and the backbone/head parameter-group split
+(backbone params excluding positional embeddings train at
+lr_multi * base_lr; everything else at base_lr). In JAX the split is a
+label pytree consumed by optax.multi_transform instead of torch param
+groups.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+from .clip import CLIP, CLIPConfig, CLIP_PRESETS, preset_from_name
+from .clip_resnet import AttentionPool2d, Bottleneck, ModifiedResNet
+from .clip_text import ResidualAttentionBlock, TextEncoder, Transformer
+from .clip_vit import VisionTransformer
+from .decoder import TransformerDecoder, TransformerDecoderLayer
+from .layers import BatchNorm, ConvBNReLU, CoordConv, LayerNormF32, LinearBNReLU
+from .neck import FPN
+from .projector import Projector
+from .segmenter import CRIS, bce_with_logits
+
+_DTYPES = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+           "fp32": None, "float32": None, "f32": None}
+
+
+def resolve_dtype(name) -> Any:
+    if name is None:
+        return jnp.bfloat16
+    if isinstance(name, str):
+        key = name.lower()
+        if key in _DTYPES:
+            return _DTYPES[key]
+        raise ValueError(f"unknown precision {name!r}")
+    return name
+
+
+def build_segmenter(cfg, clip_config: CLIPConfig = None) -> CRIS:
+    """Build the CRIS Flax module from a flat config (see config/*/*.yaml)."""
+    if clip_config is None:
+        clip_config = preset_from_name(cfg.clip_pretrain)
+    return CRIS(
+        clip_config=clip_config,
+        fpn_in=tuple(cfg.fpn_in),
+        fpn_out=tuple(cfg.fpn_out),
+        vis_dim=cfg.vis_dim,
+        num_layers=cfg.num_layers,
+        num_head=cfg.num_head,
+        dim_ffn=cfg.dim_ffn,
+        dropout=cfg.dropout,
+        intermediate=cfg.get("intermediate", False),
+        dtype=resolve_dtype(cfg.get("precision", "bf16")),
+    )
+
+
+def param_group_label(path: Tuple[str, ...]) -> str:
+    """'backbone' for CLIP params except positional embeddings, else 'head'
+    (reference split at /root/reference/model/__init__.py:36-40)."""
+    flat = "/".join(str(p) for p in path)
+    if flat.startswith("backbone") and "positional_embedding" not in flat:
+        return "backbone"
+    return "head"
+
+
+__all__ = [
+    "CLIP",
+    "CLIPConfig",
+    "CLIP_PRESETS",
+    "preset_from_name",
+    "AttentionPool2d",
+    "Bottleneck",
+    "ModifiedResNet",
+    "ResidualAttentionBlock",
+    "TextEncoder",
+    "Transformer",
+    "VisionTransformer",
+    "TransformerDecoder",
+    "TransformerDecoderLayer",
+    "BatchNorm",
+    "ConvBNReLU",
+    "CoordConv",
+    "LayerNormF32",
+    "LinearBNReLU",
+    "FPN",
+    "Projector",
+    "CRIS",
+    "bce_with_logits",
+    "build_segmenter",
+    "param_group_label",
+    "resolve_dtype",
+]

@@ -1,0 +1,132 @@
+"""CLIP dual-encoder composition and architecture presets.
+
+The reference infers all CLIP hyperparameters from the TorchScript
+checkpoint's tensor shapes (/root/reference/model/clip.py:503-554); here
+the same inference lives in cris_tpu.checkpoint.torch_convert, and this
+module consumes an explicit CLIPConfig (with named presets for runs
+without a checkpoint).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .clip_resnet import ModifiedResNet
+from .clip_text import TextEncoder
+from .clip_vit import VisionTransformer
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int
+    image_resolution: int
+    vision_layers: Union[Tuple[int, int, int, int], int]
+    vision_width: int
+    vision_patch_size: Optional[int]
+    context_length: int
+    vocab_size: int
+    transformer_width: int
+    transformer_heads: int
+    transformer_layers: int
+
+    @property
+    def is_vit(self) -> bool:
+        return isinstance(self.vision_layers, int)
+
+    @property
+    def vision_heads(self) -> int:
+        if self.is_vit:
+            return self.vision_width // 64
+        return self.vision_width * 32 // 64
+
+
+# Published OpenAI CLIP architectures used by the CRIS configs.
+CLIP_PRESETS = {
+    "RN50": CLIPConfig(
+        embed_dim=1024,
+        image_resolution=224,
+        vision_layers=(3, 4, 6, 3),
+        vision_width=64,
+        vision_patch_size=None,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=512,
+        transformer_heads=8,
+        transformer_layers=12,
+    ),
+    "RN101": CLIPConfig(
+        embed_dim=512,
+        image_resolution=224,
+        vision_layers=(3, 4, 23, 3),
+        vision_width=64,
+        vision_patch_size=None,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=512,
+        transformer_heads=8,
+        transformer_layers=12,
+    ),
+}
+
+
+def preset_from_name(name: str) -> CLIPConfig:
+    """Resolve a preset from a checkpoint path like 'pretrain/RN50.pt'."""
+    base = name.rsplit("/", 1)[-1].split(".")[0].upper()
+    if base in CLIP_PRESETS:
+        return CLIP_PRESETS[base]
+    raise KeyError(
+        f"No CLIP preset for {name!r}; known: {sorted(CLIP_PRESETS)}"
+    )
+
+
+class CLIP(nn.Module):
+    """Dual encoder. Submodule names: 'visual' and 'text'."""
+
+    config: CLIPConfig
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        cfg = self.config
+        if cfg.is_vit:
+            self.visual = VisionTransformer(
+                input_resolution=cfg.image_resolution,
+                patch_size=cfg.vision_patch_size,
+                width=cfg.vision_width,
+                layers=cfg.vision_layers,
+                heads=cfg.vision_heads,
+                output_dim=cfg.embed_dim,
+                dtype=self.dtype,
+            )
+        else:
+            self.visual = ModifiedResNet(
+                layers=cfg.vision_layers,
+                output_dim=cfg.embed_dim,
+                heads=cfg.vision_heads,
+                input_resolution=cfg.image_resolution,
+                width=cfg.vision_width,
+                dtype=self.dtype,
+            )
+        self.text = TextEncoder(
+            vocab_size=cfg.vocab_size,
+            context_length=cfg.context_length,
+            width=cfg.transformer_width,
+            heads=cfg.transformer_heads,
+            layers=cfg.transformer_layers,
+            embed_dim=cfg.embed_dim,
+            dtype=self.dtype,
+        )
+
+    def encode_image(self, image: jnp.ndarray, train: bool = False):
+        return self.visual(image, train)
+
+    def encode_text(self, text: jnp.ndarray):
+        return self.text(text)
+
+    def __call__(self, image, text, train: bool = False):
+        return self.encode_image(image, train), self.encode_text(text)

@@ -1,0 +1,183 @@
+"""CLIP's ModifiedResNet image encoder, rebuilt NHWC for TPU.
+
+Behavioral spec from /root/reference/model/clip.py:10-223:
+- 3-conv stem (stride 2 on the first conv) followed by 2x2 average pool;
+- anti-aliased downsampling: bottlenecks keep stride-1 convs and average
+  pool before the 1x1 expansion conv (and in the shortcut);
+- the dense-prediction modification: forward returns the layer2/layer3
+  feature pyramid plus an attention-pooled layer4 *feature map* (the CLS
+  readout is removed and the positional embedding is bicubic-resized to the
+  actual 13x13 grid, clip.py:80-144), with a 1x1-conv+BN residual branch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+from ..ops.resize import avg_pool2d, resize2d
+from .layers import BatchNorm
+
+Dtype = Any
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        inplanes = x.shape[-1]
+        out_planes = self.planes * self.expansion
+
+        def conv(features, ksize, name):
+            return nn.Conv(
+                features,
+                (ksize, ksize),
+                padding=[(ksize // 2, ksize // 2)] * 2,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=name,
+            )
+
+        out = nn.relu(BatchNorm(self.planes, dtype=self.dtype, name="bn1")(
+            conv(self.planes, 1, "conv1")(x), train))
+        out = nn.relu(BatchNorm(self.planes, dtype=self.dtype, name="bn2")(
+            conv(self.planes, 3, "conv2")(out), train))
+        if self.stride > 1:
+            out = avg_pool2d(out, self.stride)
+        out = BatchNorm(out_planes, dtype=self.dtype, name="bn3")(
+            conv(out_planes, 1, "conv3")(out), train)
+
+        identity = x
+        if self.stride > 1 or inplanes != out_planes:
+            identity = x
+            if self.stride > 1:
+                identity = avg_pool2d(identity, self.stride)
+            identity = conv(out_planes, 1, "downsample_conv")(identity)
+            identity = BatchNorm(out_planes, dtype=self.dtype, name="downsample_bn")(
+                identity, train
+            )
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """Global self-attention over the 13x13 layer4 grid with a learned
+    (resized) positional embedding and a conv residual connection."""
+
+    spacial_dim: int
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        pos_embed = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=self.embed_dim**-0.5),
+            (self.spacial_dim**2 + 1, self.embed_dim),
+            jnp.float32,
+        )
+
+        # residual branch: 1x1 conv (no bias) + BN
+        res = nn.Conv(
+            self.output_dim,
+            (1, 1),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="connect_conv",
+        )(x)
+        res = BatchNorm(self.output_dim, dtype=self.dtype, name="connect_bn")(
+            res, train
+        )
+
+        # resize the trained (spacial_dim x spacial_dim) positional embedding
+        # to the actual grid; the CLS slot (index 0) is dropped.
+        grid_pos = pos_embed[1:].reshape(
+            1, self.spacial_dim, self.spacial_dim, self.embed_dim
+        )
+        grid_pos = resize2d(grid_pos, (h, w), "bicubic", align_corners=False)
+        tokens = x.reshape(b, h * w, c) + grid_pos.reshape(1, h * w, c).astype(x.dtype)
+
+        dense = lambda feats, name: nn.Dense(
+            feats, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        q = dense(self.embed_dim, "q_proj")(tokens)
+        k = dense(self.embed_dim, "k_proj")(tokens)
+        v = dense(self.embed_dim, "v_proj")(tokens)
+        attn = dot_product_attention(q, k, v, self.num_heads)
+        out = dense(self.output_dim, "c_proj")(attn)
+
+        return nn.relu(out.reshape(b, h, w, self.output_dim) + res)
+
+
+class ModifiedResNet(nn.Module):
+    layers: Sequence[int]
+    output_dim: int
+    heads: int
+    input_resolution: int = 224
+    width: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        w = self.width
+
+        def stem_conv(features, stride, name):
+            return nn.Conv(
+                features,
+                (3, 3),
+                strides=(stride, stride),
+                padding=[(1, 1), (1, 1)],
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=name,
+            )
+
+        x = x.astype(self.dtype or x.dtype)
+        x = nn.relu(BatchNorm(w // 2, dtype=self.dtype, name="bn1")(
+            stem_conv(w // 2, 2, "conv1")(x), train))
+        x = nn.relu(BatchNorm(w // 2, dtype=self.dtype, name="bn2")(
+            stem_conv(w // 2, 1, "conv2")(x), train))
+        x = nn.relu(BatchNorm(w, dtype=self.dtype, name="bn3")(
+            stem_conv(w, 1, "conv3")(x), train))
+        x = avg_pool2d(x, 2)
+
+        def stage(x, planes, blocks, stride, stage_idx):
+            x = Bottleneck(
+                planes, stride, dtype=self.dtype, name=f"layer{stage_idx}_0"
+            )(x, train)
+            for j in range(1, blocks):
+                x = Bottleneck(
+                    planes, 1, dtype=self.dtype, name=f"layer{stage_idx}_{j}"
+                )(x, train)
+            return x
+
+        x = stage(x, w, self.layers[0], 1, 1)
+        x2 = stage(x, w * 2, self.layers[1], 2, 2)
+        x3 = stage(x2, w * 4, self.layers[2], 2, 3)
+        x4 = stage(x3, w * 8, self.layers[3], 2, 4)
+
+        embed_dim = w * 32
+        x4 = AttentionPool2d(
+            spacial_dim=self.input_resolution // 32,
+            embed_dim=embed_dim,
+            num_heads=self.heads,
+            output_dim=self.output_dim,
+            dtype=self.dtype,
+            name="attnpool",
+        )(x4, train)
+        return x2, x3, x4

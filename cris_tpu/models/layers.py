@@ -1,0 +1,196 @@
+"""Shared Flax building blocks with torch-equivalent numerics.
+
+All modules use NHWC layout (TPU-native), fp32 parameters, and an optional
+bf16 compute dtype. Normalization statistics are always computed in fp32.
+
+BatchNorm here *is* SyncBatchNorm: the model is written over the global
+batch under jit, so batch-statistics reductions are global reductions and
+GSPMD inserts the cross-replica collectives automatically -- the TPU-native
+replacement for the reference's NCCL SyncBatchNorm conversion
+(/root/reference/train.py:97-98).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d/1d with exact torch semantics.
+
+    - normalizes with the *biased* batch variance,
+    - tracks running variance with the *unbiased* estimator,
+    - running = (1 - momentum) * running + momentum * batch, momentum=0.1,
+    - statistics and the affine transform are computed in fp32.
+    Matches torch.nn.BatchNorm2d defaults as used throughout the reference
+    model (e.g. /root/reference/model/clip.py:18-26).
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        initializing = self.is_initializing()
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        x32 = x.astype(jnp.float32)
+        reduce_axes = tuple(range(x.ndim - 1))
+
+        if train:
+            mean = jnp.mean(x32, axis=reduce_axes)
+            mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            if not initializing:
+                n = 1
+                for ax in reduce_axes:
+                    n *= x.shape[ax]
+                correction = n / max(n - 1, 1)
+                ra_mean.value = (
+                    (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1.0 - self.momentum) * ra_var.value
+                    + self.momentum * var * correction
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jnp.reciprocal(jnp.sqrt(var + self.eps)) * scale
+        y = (x32 - mean) * inv + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in fp32 then cast back (fp16/bf16-safe LayerNorm,
+    /root/reference/model/clip.py:226-231). eps matches torch (1e-5)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps)) * scale + bias
+        return y.astype(x.dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(1.702 x) (/root/reference/model/clip.py:234-236)."""
+    return x * nn.sigmoid(1.702 * x)
+
+
+class Conv(nn.Module):
+    """2-D convolution, NHWC, torch-compatible padding semantics."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class ConvBNReLU(nn.Module):
+    """conv(bias=False) + BN + ReLU (conv_layer helper,
+    /root/reference/model/layers.py:8-11)."""
+
+    features: int
+    kernel_size: int = 1
+    padding: int = 0
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = BatchNorm(self.features, dtype=self.dtype, name="bn")(x, train)
+        return nn.relu(x)
+
+
+class LinearBNReLU(nn.Module):
+    """linear(bias=False) + BN1d + ReLU (linear_layer helper,
+    /root/reference/model/layers.py:14-16)."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(
+            self.features,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="linear",
+        )(x)
+        x = BatchNorm(self.features, dtype=self.dtype, name="bn")(x, train)
+        return nn.relu(x)
+
+
+class CoordConv(nn.Module):
+    """Concatenates normalized x/y coordinate planes before a ConvBNReLU
+    (/root/reference/model/layers.py:19-44)."""
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, h, w, _ = x.shape
+        ys = jnp.linspace(-1.0, 1.0, h, dtype=jnp.float32)
+        xs = jnp.linspace(-1.0, 1.0, w, dtype=jnp.float32)
+        yy = jnp.broadcast_to(ys[:, None], (h, w))
+        xx = jnp.broadcast_to(xs[None, :], (h, w))
+        coords = jnp.stack([xx, yy], axis=-1).astype(x.dtype)
+        coords = jnp.broadcast_to(coords[None], (b, h, w, 2))
+        x = jnp.concatenate([x, coords], axis=-1)
+        return ConvBNReLU(
+            self.features,
+            self.kernel_size,
+            self.padding,
+            dtype=self.dtype,
+            name="conv1",
+        )(x, train)

@@ -1,0 +1,69 @@
+"""FPN-style multimodal fusion neck.
+
+Behavioral spec from /root/reference/model/layers.py:253-309: the
+sentence-level text state gates the deepest visual level by broadcast
+multiply, levels are merged top-down (bilinear x2) and bottom-up (avg
+pool), then the three projected levels are concatenated, aggregated with a
+1x1 conv and refined by a CoordConv block, producing the (B, 26, 26, 512)
+query feature map for the decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import avg_pool2d, upsample2x
+from .layers import BatchNorm, ConvBNReLU, CoordConv, LinearBNReLU
+
+Dtype = Any
+
+
+class FPN(nn.Module):
+    in_channels: Sequence[int] = (512, 1024, 1024)
+    out_channels: Sequence[int] = (256, 512, 1024)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        imgs: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        state: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        v3, v4, v5 = imgs  # (52^2, in0) / (26^2, in1) / (13^2, in2), NHWC
+        out0, out1, out2 = self.out_channels
+
+        # fusion 1: gate v5 with the projected sentence state
+        state = LinearBNReLU(out2, dtype=self.dtype, name="txt_proj")(state, train)
+        f5 = ConvBNReLU(out2, 1, 0, dtype=self.dtype, name="f1_v_proj")(v5, train)
+        f5 = f5 * state[:, None, None, :]
+        f5 = BatchNorm(out2, dtype=self.dtype, name="norm_layer")(f5, train)
+        f5 = nn.relu(f5)
+
+        # fusion 2: v4 + upsampled f5
+        f4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="f2_v_proj")(v4, train)
+        f5_up = upsample2x(f5)
+        f4 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, name="f2_cat")(
+            jnp.concatenate([f4, f5_up], axis=-1), train
+        )
+
+        # fusion 3: pooled v3 + f4
+        f3 = ConvBNReLU(out0, 3, 1, dtype=self.dtype, name="f3_v_proj")(v3, train)
+        f3 = avg_pool2d(f3, 2, 2)
+        f3 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, name="f3_cat")(
+            jnp.concatenate([f3, f4], axis=-1), train
+        )
+
+        # fusion 4: project all three levels to out1 and aggregate at 26x26
+        fq5 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="f4_proj5")(f5, train)
+        fq4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="f4_proj4")(f4, train)
+        fq3 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="f4_proj3")(f3, train)
+        fq5 = upsample2x(fq5)
+        fq = jnp.concatenate([fq3, fq4, fq5], axis=-1)
+        fq = ConvBNReLU(out1, 1, 0, dtype=self.dtype, name="aggr")(fq, train)
+        fq = CoordConv(out1, 3, 1, dtype=self.dtype, name="coordconv_0")(fq, train)
+        fq = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="coordconv_1")(fq, train)
+        return fq  # (B, 26, 26, out1)

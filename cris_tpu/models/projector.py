@@ -1,0 +1,60 @@
+"""Text-to-pixel projector: upsampling trunk + per-sample dynamic conv head.
+
+Behavioral spec from /root/reference/model/layers.py:47-84: the decoder
+output is upsampled 26->52->104 with bilinear x2 + conv blocks and a final
+1x1 conv; the sentence state generates a per-sample 3x3x256 kernel and
+scalar bias via one Linear, applied as a per-sample convolution. The
+reference's groups=B grouped conv becomes a batched einsum contraction
+(cris_tpu.ops.dynamic_conv2d), which is the MXU-friendly formulation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.dynamic_conv import dynamic_conv2d
+from ..ops.resize import upsample2x
+from .layers import ConvBNReLU
+
+Dtype = Any
+
+
+class Projector(nn.Module):
+    word_dim: int = 1024
+    in_dim: int = 256
+    kernel_size: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, word: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        """
+        x:    (B, 26, 26, 2*in_dim) decoder output
+        word: (B, word_dim) sentence state
+        returns (B, 104, 104, 1) mask logits
+        """
+        c = self.in_dim
+        k = self.kernel_size
+
+        # visual trunk: os16 -> os4
+        x = upsample2x(x)
+        x = ConvBNReLU(2 * c, 3, 1, dtype=self.dtype, name="vis_conv1")(x, train)
+        x = upsample2x(x)
+        x = ConvBNReLU(c, 3, 1, dtype=self.dtype, name="vis_conv2")(x, train)
+        x = nn.Conv(
+            c, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+            name="vis_out",
+        )(x)
+
+        # textual kernel generator: (B, word_dim) -> per-sample (C, k, k) + bias
+        b = x.shape[0]
+        params = nn.Dense(
+            c * k * k + 1, dtype=self.dtype, param_dtype=jnp.float32, name="txt"
+        )(word)
+        weight = params[:, :-1].reshape(b, c, k, k)
+        bias = params[:, -1]
+        return dynamic_conv2d(x, weight, bias, k)
