@@ -1,0 +1,139 @@
+"""RefDataset: record backend + preprocessing, mode-dependent outputs.
+
+Behavioral spec from /root/reference/utils/dataset.py:95-221:
+- train: (image, word_vec, mask) with a uniformly chosen sentence;
+- val:   (image, word_vec, params{mask_dir, inverse, ori_size}) using the
+  first sentence;
+- test:  (image, params{ori_img, seg_id, mask_dir, inverse, ori_size,
+  sents}) -- every sentence is evaluated by the inference loop.
+
+Backends are resolved from the config's *_lmdb path: reference .lmdb
+shards, RefPack files, or synthetic://COUNT?seed=S URIs, all serving the
+same record schema.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..utils.tokenizer import tokenize
+from .transforms import (
+    decode_image,
+    decode_mask,
+    get_transform_mats,
+    normalize_image,
+    warp_image,
+    warp_mask,
+)
+
+# Published split sizes (reference hardcodes these at utils/dataset.py:13-39
+# as a fallback before the LMDB metadata is read).
+SPLIT_SIZES = {
+    "refcoco": {"train": 42404, "val": 3811, "val-test": 3811,
+                "testA": 1975, "testB": 1810},
+    "refcoco+": {"train": 42278, "val": 3805, "val-test": 3805,
+                 "testA": 1975, "testB": 1798},
+    "refcocog_u": {"train": 42226, "val": 2573, "val-test": 2573,
+                   "test": 5023},
+    "refcocog_g": {"train": 44822, "val": 5000, "val-test": 5000},
+}
+
+
+def open_backend(uri: str, expected_len: Optional[int] = None):
+    """Resolve a data source URI/path to a record backend."""
+    if uri.startswith("synthetic://"):
+        parsed = urlparse(uri)
+        count = int(parsed.netloc or parsed.path.strip("/"))
+        seed = int(parse_qs(parsed.query).get("seed", ["0"])[0])
+        from .synthetic import SyntheticBackend
+
+        return SyntheticBackend(count, seed)
+    if uri.endswith(".refpack"):
+        from .records import RefPackReader
+
+        return RefPackReader(uri)
+    if uri.endswith(".lmdb"):
+        from .lmdb_backend import LmdbBackend
+
+        return LmdbBackend(uri, expected_len)
+    raise ValueError(f"cannot resolve data backend for {uri!r}")
+
+
+class RefDataset:
+    def __init__(
+        self,
+        data_uri: str,
+        mask_root: Optional[str],
+        dataset: str,
+        split: str,
+        mode: str,
+        input_size: int,
+        word_length: int,
+    ):
+        assert mode in ("train", "val", "test")
+        self.mode = mode
+        self.dataset = dataset
+        self.split = split
+        self.input_size = (input_size, input_size)
+        self.word_length = word_length
+        expected = SPLIT_SIZES.get(dataset, {}).get(split)
+        self.backend = open_backend(data_uri, expected)
+        self.mask_root = mask_root
+        if mask_root is None and hasattr(self.backend, "materialize_masks"):
+            # synthetic data: write GT masks next to nothing in particular
+            import tempfile
+
+            self.mask_root = self.backend.materialize_masks(
+                os.path.join(tempfile.gettempdir(), f"cris_tpu_masks_{dataset}_{split}")
+            )
+
+    def __len__(self) -> int:
+        return len(self.backend)
+
+    def __getitem__(self, index: int, rng: Optional[np.random.RandomState] = None):
+        rec = self.backend[index]
+        ori_img = decode_image(rec["img"])  # BGR
+        img = ori_img[:, :, ::-1]  # RGB
+        img_size = img.shape[:2]
+
+        seg_id = rec["seg_id"]
+        mask_path = os.path.join(self.mask_root or "", f"{seg_id}.png")
+        sents = rec["sents"]
+
+        mat, inv = get_transform_mats(img_size, self.input_size)
+        img = warp_image(img, mat, self.input_size)
+
+        if self.mode == "train":
+            mask = decode_mask(rec["mask"])
+            mask = warp_mask(mask, mat, self.input_size)
+            rng = rng or np.random
+            sent = sents[int(rng.choice(rec["num_sents"]))]
+            word_vec = tokenize(sent, self.word_length, True)[0]
+            return {
+                "image": normalize_image(img),
+                "word": word_vec,
+                "mask": mask[..., None].astype(np.float32),
+            }
+        if self.mode == "val":
+            word_vec = tokenize(sents[0], self.word_length, True)[0]
+            return {
+                "image": normalize_image(img),
+                "word": word_vec,
+                "seg_id": seg_id,
+                "mask_path": mask_path,
+                "inverse": inv.astype(np.float64),
+                "ori_size": np.array(img_size, np.int32),
+            }
+        return {
+            "image": normalize_image(img),
+            "ori_img": ori_img,
+            "seg_id": seg_id,
+            "mask_path": mask_path,
+            "inverse": inv.astype(np.float64),
+            "ori_size": np.array(img_size, np.int32),
+            "sents": list(sents),
+        }
