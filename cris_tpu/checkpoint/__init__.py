@@ -1,3 +1,11 @@
+from .orbax_io import (
+    BEST_NAME,
+    LAST_NAME,
+    checkpoint_exists,
+    promote_best,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from .torch_convert import (
     convert_clip,
     convert_cris_state_dict,
@@ -7,6 +15,12 @@ from .torch_convert import (
 )
 
 __all__ = [
+    "BEST_NAME",
+    "LAST_NAME",
+    "checkpoint_exists",
+    "promote_best",
+    "restore_checkpoint",
+    "save_checkpoint",
     "convert_clip",
     "convert_cris_state_dict",
     "infer_clip_config",

@@ -84,11 +84,15 @@ class RefDataset:
         self.backend = open_backend(data_uri, expected)
         self.mask_root = mask_root
         if mask_root is None and hasattr(self.backend, "materialize_masks"):
-            # synthetic data: write GT masks next to nothing in particular
+            # synthetic data: write GT masks to a backend-unique tmp dir
             import tempfile
 
+            tag = f"{len(self.backend)}_{getattr(self.backend, 'seed', 0)}"
             self.mask_root = self.backend.materialize_masks(
-                os.path.join(tempfile.gettempdir(), f"cris_tpu_masks_{dataset}_{split}")
+                os.path.join(
+                    tempfile.gettempdir(),
+                    f"cris_tpu_masks_{dataset}_{split}_{tag}",
+                )
             )
 
     def __len__(self) -> int:

@@ -1,0 +1,31 @@
+from .evaluator import Evaluator
+from .metrics import (
+    EVAL_THRESHOLD,
+    mask_iou,
+    summarize_ious,
+    train_metrics,
+)
+from .trainer import (
+    TrainState,
+    create_train_state,
+    lr_at_epoch,
+    make_jitted_train_step,
+    make_optimizer,
+    multistep_schedule,
+    train_step,
+)
+
+__all__ = [
+    "Evaluator",
+    "EVAL_THRESHOLD",
+    "mask_iou",
+    "summarize_ious",
+    "train_metrics",
+    "TrainState",
+    "create_train_state",
+    "lr_at_epoch",
+    "make_jitted_train_step",
+    "make_optimizer",
+    "multistep_schedule",
+    "train_step",
+]

@@ -1,0 +1,54 @@
+"""Segmentation metrics, device- and host-side.
+
+Device: per-batch train IoU / Pr@50 on the 104x104 prediction grid
+(/root/reference/utils/misc.py:114-129 -- sigmoid, 0.35 binarization,
+union + 1e-6). Host: eval IoU at original image resolution after the
+inverse warp, plus Pr@{50..90} (/root/reference/engine/engine.py:117-139).
+Under global-batch jit the device means are already global -- the
+reference's explicit dist.all_reduce (engine.py:61-66) disappears.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+EVAL_THRESHOLD = 0.35
+UNION_EPS = 1e-6
+
+
+def train_metrics(
+    pred_logits: jnp.ndarray, target: jnp.ndarray,
+    threshold: float = EVAL_THRESHOLD, pr_iou: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(batch mean IoU x100, Pr@pr_iou x100), computed in fp32 on device."""
+    b = pred_logits.shape[0]
+    probs = jnp.reshape(
+        jnp.asarray(pred_logits, jnp.float32), (b, -1)
+    )
+    probs = 1.0 / (1.0 + jnp.exp(-probs))
+    pred = probs >= threshold
+    tgt = jnp.reshape(target, (b, -1)) > 0.5
+    inter = jnp.sum(pred & tgt, axis=1).astype(jnp.float32)
+    union = jnp.sum(pred | tgt, axis=1).astype(jnp.float32)
+    ious = inter / (union + UNION_EPS)
+    return 100.0 * jnp.mean(ious), 100.0 * jnp.mean((ious > pr_iou).astype(jnp.float32))
+
+
+def mask_iou(pred_bool: np.ndarray, mask: np.ndarray) -> float:
+    """Host-side IoU between a binarized prediction and a {0,1} GT mask
+    (engine.py:121-123)."""
+    inter = np.logical_and(pred_bool, mask)
+    union = np.logical_or(pred_bool, mask)
+    return float(np.sum(inter) / (np.sum(union) + UNION_EPS))
+
+
+def summarize_ious(iou_list: Sequence[float]) -> Tuple[float, Dict[str, float]]:
+    """(mean IoU, {Pr@50..Pr@90}) over per-sample IoUs (engine.py:127-139)."""
+    ious = np.asarray(iou_list, np.float64)
+    prec = {}
+    for i, thres in enumerate(np.arange(0.5, 1.0, 0.1)):
+        prec[f"Pr@{(i + 5) * 10}"] = float((ious > thres).mean())
+    return float(ious.mean()), prec

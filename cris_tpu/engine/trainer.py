@@ -1,0 +1,122 @@
+"""Training state, optimizer, and the jitted global-batch train step.
+
+TPU-native equivalents of the reference training stack
+(/root/reference/train.py:96-111, engine/engine.py:17-87):
+- Adam with two LR groups (CLIP backbone at lr_multi x base_lr, head at
+  base_lr, positional embeddings counted as head) via optax.multi_transform;
+- MultiStepLR epoch-milestone decay as a step schedule;
+- optional global-norm gradient clipping (max_norm);
+- bf16 compute with fp32 params -- no GradScaler: bf16 keeps the fp32
+  exponent range so loss scaling is unnecessary on TPU;
+- one jitted train_step over the global batch: gradient and BN-statistic
+  reductions become GSPMD collectives, replacing DDP all-reduce + SyncBN.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from ..models import param_group_label
+from .metrics import train_metrics
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def multistep_schedule(
+    base_lr: float, milestones: Sequence[int], gamma: float, steps_per_epoch: int
+):
+    """lr(step) = base_lr * gamma^(#milestone epochs passed)
+    (torch MultiStepLR semantics, train.py:108-110)."""
+    boundaries = sorted(int(m) * steps_per_epoch for m in milestones)
+
+    def schedule(step):
+        factor = jnp.ones((), jnp.float32)
+        for b in boundaries:
+            factor = factor * jnp.where(step >= b, gamma, 1.0)
+        return base_lr * factor
+
+    return schedule
+
+
+def lr_at_epoch(base_lr, milestones, gamma, epoch) -> float:
+    """Host-side mirror of the schedule for logging."""
+    return base_lr * gamma ** bisect.bisect_right(sorted(milestones), epoch - 1)
+
+
+def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
+    def group(lr_scale: float) -> optax.GradientTransformation:
+        parts = []
+        if cfg.get("weight_decay", 0.0):
+            # torch Adam adds wd*p to the gradient *before* the moment
+            # update (L2, not AdamW) -- replicate that ordering
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        parts.append(
+            optax.scale_by_learning_rate(
+                multistep_schedule(
+                    cfg.base_lr * lr_scale,
+                    cfg.get("milestones", []),
+                    cfg.get("lr_decay", 0.1),
+                    steps_per_epoch,
+                )
+            )
+        )
+        return optax.chain(*parts)
+
+    tx = optax.multi_transform(
+        {"backbone": group(cfg.get("lr_multi", 1.0)), "head": group(1.0)},
+        lambda params: jax.tree_util.tree_map_with_path(
+            lambda path, _: param_group_label(path), params
+        ),
+    )
+    if cfg.get("max_norm", 0.0):
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_norm), tx)
+    return tx
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=tx,
+    )
+
+
+def train_step(
+    state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One global-batch optimization step. jit this (donate state)."""
+    step_rng = jax.random.fold_in(rng, state.step)
+
+    def loss_fn(params):
+        (pred, tgt, loss), mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"],
+            batch["word"],
+            batch["mask"],
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": step_rng},
+        )
+        return loss, (pred, tgt, mutated["batch_stats"])
+
+    (loss, (pred, tgt, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+    iou, pr5 = train_metrics(pred, tgt)
+    metrics = {"loss": loss, "iou": iou, "prec@50": pr5}
+    return new_state, metrics
+
+
+def make_jitted_train_step(donate: bool = True):
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

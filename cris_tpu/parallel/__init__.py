@@ -1,0 +1,19 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    make_param_shardings,
+    param_spec,
+    replicated,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "make_param_shardings",
+    "param_spec",
+    "replicated",
+]

@@ -28,6 +28,55 @@ if REPO_ROOT not in sys.path:
 REFERENCE_ROOT = "/root/reference"
 
 
+def tiny_cris(dropout=0.1, dtype=None, vocab_size=49408):
+    """A small but structurally complete CRIS for engine/parallel tests:
+    64px input, 2-layer tiny CLIP, 2-layer decoder."""
+    from cris_tpu.models import CLIPConfig, CRIS
+
+    ccfg = CLIPConfig(
+        embed_dim=64,
+        image_resolution=64,
+        vision_layers=(1, 1, 1, 1),
+        vision_width=16,
+        vision_patch_size=None,
+        context_length=77,
+        vocab_size=vocab_size,
+        transformer_width=64,
+        transformer_heads=4,
+        transformer_layers=2,
+    )
+    model = CRIS(
+        clip_config=ccfg,
+        fpn_in=(128, 256, 64),
+        fpn_out=(32, 64, 128),
+        vis_dim=64,
+        num_layers=2,
+        num_head=4,
+        dim_ffn=128,
+        dropout=dropout,
+        dtype=dtype,
+    )
+    return model
+
+
+def tiny_train_cfg(**overrides):
+    from cris_tpu.utils import CfgNode
+
+    cfg = CfgNode(
+        dict(
+            base_lr=1e-3,
+            lr_multi=0.1,
+            lr_decay=0.1,
+            milestones=[2],
+            weight_decay=0.0,
+            max_norm=0.0,
+            epochs=3,
+        )
+    )
+    cfg.update(overrides)
+    return cfg
+
+
 def has_reference() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
 

@@ -1,0 +1,139 @@
+"""Trainer/optimizer/metrics/checkpoint tests on the CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import tiny_cris, tiny_train_cfg
+
+
+def _batch(b=8, size=64, length=17, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": rng.randn(b, size, size, 3).astype(np.float32),
+        "word": np.concatenate(
+            [
+                np.full((b, 1), 49406, np.int32),
+                rng.randint(1, 49000, (b, length - 2)).astype(np.int32),
+                np.full((b, 1), 49407, np.int32),
+            ],
+            axis=1,
+        ),
+        "mask": (rng.rand(b, size, size, 1) > 0.5).astype(np.float32),
+    }
+
+
+def test_multistep_schedule_matches_torch():
+    import torch
+
+    from cris_tpu.engine import multistep_schedule
+
+    steps_per_epoch = 10
+    sched = multistep_schedule(1e-3, [2, 4], 0.1, steps_per_epoch)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1e-3)
+    tsched = torch.optim.lr_scheduler.MultiStepLR(opt, milestones=[2, 4], gamma=0.1)
+    for epoch in range(6):
+        ref_lr = opt.param_groups[0]["lr"]
+        got = float(sched(epoch * steps_per_epoch))
+        assert got == pytest.approx(ref_lr, rel=1e-6), f"epoch {epoch}"
+        tsched.step()
+
+
+def test_param_group_labels():
+    from cris_tpu.models import param_group_label
+
+    assert param_group_label(("backbone", "visual", "conv1", "kernel")) == "backbone"
+    assert (
+        param_group_label(("backbone", "text", "positional_embedding")) == "head"
+    )
+    assert (
+        param_group_label(
+            ("backbone", "visual", "attnpool", "positional_embedding")
+        )
+        == "head"
+    )
+    assert param_group_label(("neck", "aggr", "conv", "kernel")) == "head"
+
+
+def test_train_metrics_match_reference_math():
+    import torch
+
+    from cris_tpu.engine import train_metrics
+
+    rng = np.random.RandomState(1)
+    logits = rng.randn(4, 16, 16, 1).astype(np.float32)
+    target = (rng.rand(4, 16, 16, 1) > 0.5).astype(np.float32)
+
+    # reference trainMetricGPU (utils/misc.py:114-129)
+    out = torch.sigmoid(torch.from_numpy(logits).reshape(4, -1))
+    out = (out >= 0.35).float()
+    tgt = torch.from_numpy(target).reshape(4, -1)
+    inter = (out.bool() & tgt.bool()).sum(dim=1)
+    union = (out.bool() | tgt.bool()).sum(dim=1)
+    ious = inter / (union + 1e-6)
+    ref_iou, ref_pr = 100.0 * ious.mean(), 100.0 * (ious > 0.5).float().mean()
+
+    iou, pr5 = train_metrics(jnp.asarray(logits), jnp.asarray(target))
+    assert float(iou) == pytest.approx(float(ref_iou), abs=1e-3)
+    assert float(pr5) == pytest.approx(float(ref_pr), abs=1e-3)
+
+
+@pytest.fixture(scope="module")
+def trained_bits():
+    from cris_tpu.engine import create_train_state, make_jitted_train_step, make_optimizer
+
+    model = tiny_cris()
+    batch = _batch()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+        jnp.asarray(batch["word"]), jnp.asarray(batch["mask"]), train=False,
+    )
+    tx = make_optimizer(tiny_train_cfg(), steps_per_epoch=2)
+    state = create_train_state(model, variables, tx)
+    step = make_jitted_train_step(donate=False)
+    return model, state, step, batch
+
+
+def test_train_step_reduces_loss(trained_bits):
+    model, state, step, batch = trained_bits
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert 0.0 <= float(metrics["iou"]) <= 100.0
+    assert int(state.step) == 6
+
+
+def test_batch_stats_update(trained_bits):
+    model, state, step, batch = trained_bits
+    before = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    after = jax.tree_util.tree_leaves(new_state.batch_stats)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_checkpoint_roundtrip(tmp_path, trained_bits):
+    from cris_tpu.checkpoint import restore_checkpoint, save_checkpoint
+
+    model, state, step, batch = trained_bits
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "epoch": np.asarray(3),
+        "best_iou": np.asarray(0.5),
+    }
+    save_checkpoint(str(tmp_path), "last_model", tree)
+    restored = restore_checkpoint(str(tmp_path / "last_model"), tree)
+    assert int(restored["epoch"]) == 3
+    before = jax.tree_util.tree_leaves(tree["params"])
+    after = jax.tree_util.tree_leaves(restored["params"])
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

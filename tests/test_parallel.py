@@ -1,0 +1,131 @@
+"""Multi-device tests on the virtual 8-CPU mesh: dp + tp shardings."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from conftest import tiny_cris, tiny_train_cfg
+
+
+def _batch(b=8, size=64, length=17, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": rng.randn(b, size, size, 3).astype(np.float32),
+        "word": rng.randint(1, 49000, (b, length)).astype(np.int32),
+        "mask": (rng.rand(b, size, size, 1) > 0.5).astype(np.float32),
+    }
+
+
+def test_make_mesh_shapes():
+    from cris_tpu.parallel import make_mesh
+
+    mesh = make_mesh(-1, 1)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(3, 2)
+
+
+def test_param_spec_rules():
+    from cris_tpu.parallel import param_spec
+
+    class Key:
+        def __init__(self, key):
+            self.key = key
+
+    def spec(*parts, value_shape=(64, 128)):
+        return param_spec(
+            tuple(Key(p) for p in parts), np.zeros(value_shape), True
+        )
+
+    assert spec("decoder", "layers_0", "ffn_fc1", "kernel") == P(None, "model")
+    assert spec("decoder", "layers_0", "ffn_fc2", "kernel") == P("model", None)
+    assert spec("decoder", "layers_1", "self_attn", "q_proj", "kernel") == P(
+        None, "model"
+    )
+    assert spec("neck", "aggr", "conv", "kernel") == P()
+    assert spec("backbone", "visual", "conv1", "kernel") == P()
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_train_step(dp, tp):
+    """Full train step over a real Mesh with dp (and tp) shardings:
+    the GSPMD replacement for DDP+SyncBN."""
+    from cris_tpu.engine import (
+        create_train_state,
+        make_jitted_train_step,
+        make_optimizer,
+    )
+    from cris_tpu.parallel import batch_sharding, make_mesh, make_param_shardings
+
+    model = tiny_cris(dropout=0.0)
+    batch = _batch()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["image"]),
+        jnp.asarray(batch["word"]),
+        jnp.asarray(batch["mask"]),
+        train=False,
+    )
+
+    mesh = make_mesh(dp, tp)
+    shardings = make_param_shardings(mesh, variables)
+    variables = jax.device_put(variables, shardings)
+    bsh = batch_sharding(mesh)
+    device_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+    tx = make_optimizer(tiny_train_cfg(), steps_per_epoch=2)
+    state = create_train_state(model, variables, tx)
+    step = make_jitted_train_step(donate=False)
+
+    with mesh:
+        state2, metrics = step(state, device_batch, jax.random.PRNGKey(1))
+        first_loss = float(metrics["loss"])
+        for _ in range(4):
+            state2, metrics = step(state2, device_batch, jax.random.PRNGKey(1))
+    assert np.isfinite(first_loss)
+    assert float(metrics["loss"]) < first_loss
+
+    if tp > 1:
+        # verify at least one decoder param is actually sharded over 'model'
+        fc1 = state2.params["decoder"]["layers_0"]["ffn_fc1"]["kernel"]
+        assert fc1.sharding.spec == P(None, "model")
+
+
+def test_sharded_matches_single_device():
+    """dp=8 sharded step computes the same loss/grads as one device
+    (SyncBN + global-mean loss semantics under GSPMD)."""
+    from cris_tpu.engine import create_train_state, make_optimizer, train_step
+    from cris_tpu.parallel import batch_sharding, make_mesh, make_param_shardings
+
+    model = tiny_cris(dropout=0.0)
+    batch = _batch(b=8)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["image"]),
+        jnp.asarray(batch["word"]),
+        jnp.asarray(batch["mask"]),
+        train=False,
+    )
+    tx = make_optimizer(tiny_train_cfg(), steps_per_epoch=2)
+
+    # single device
+    state1 = create_train_state(model, variables, tx)
+    _, m1 = jax.jit(train_step)(state1, batch, jax.random.PRNGKey(1))
+
+    # 8-way data parallel
+    mesh = make_mesh(8, 1)
+    shardings = make_param_shardings(mesh, variables)
+    vars_sharded = jax.device_put(variables, shardings)
+    bsh = batch_sharding(mesh)
+    device_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    state8 = create_train_state(model, vars_sharded, tx)
+    with mesh:
+        _, m8 = jax.jit(train_step)(state8, device_batch, jax.random.PRNGKey(1))
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=2e-5)
+    assert float(m1["iou"]) == pytest.approx(float(m8["iou"]), abs=1e-3)
