@@ -3,7 +3,8 @@ from .orbax_io import (
     LAST_NAME,
     checkpoint_exists,
     promote_best,
-    restore_checkpoint,
+    restore_model,
+    restore_train,
     save_checkpoint,
 )
 from .torch_convert import (
@@ -19,7 +20,8 @@ __all__ = [
     "LAST_NAME",
     "checkpoint_exists",
     "promote_best",
-    "restore_checkpoint",
+    "restore_model",
+    "restore_train",
     "save_checkpoint",
     "convert_clip",
     "convert_cris_state_dict",

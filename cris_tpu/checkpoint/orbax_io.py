@@ -2,9 +2,16 @@
 
 Same contract as the reference's torch.save checkpoints
 (/root/reference/train.py:159-207): every epoch write last_model, copy to
-best_model on a new best IoU, and resume restores epoch / best IoU /
-model / optimizer / scheduler state (the schedule here is pure step math,
-so restoring the step count restores the LR).
+best_model on a new best IoU; resume restores epoch / best IoU / model /
+optimizer state (the LR schedule is pure step math, so restoring the step
+count restores the LR).
+
+Each checkpoint directory holds two orbax items:
+  <name>/model -- {params, batch_stats}           (all eval needs)
+  <name>/train -- {opt_state, step, epoch, best_iou, cur_iou, prec}
+so evaluation never has to reconstruct optimizer structure, and resume
+restores the optimizer state *typed* by passing the live opt_state as the
+abstract target.
 """
 
 from __future__ import annotations
@@ -13,38 +20,54 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 LAST_NAME = "last_model"
 BEST_NAME = "best_model"
+MODEL_ITEM = "model"
+TRAIN_ITEM = "train"
 
 
-def _checkpointer():
-    return ocp.StandardCheckpointer()
-
-
-def save_checkpoint(output_dir: str, name: str, tree: Dict[str, Any]):
-    path = os.path.abspath(os.path.join(output_dir, name))
-    ckptr = _checkpointer()
+def _save_item(path: str, tree):
+    ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
-    return path
 
 
-def restore_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
-    """Restore a checkpoint; ``target`` (a matching pytree of arrays) guides
-    structure/dtype restoration when provided."""
-    path = os.path.abspath(path)
-    ckptr = _checkpointer()
+def _restore_item(path: str, target=None):
+    ckptr = ocp.StandardCheckpointer()
     if target is None:
         return ckptr.restore(path)
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
     return ckptr.restore(path, abstract)
 
 
+def save_checkpoint(
+    output_dir: str,
+    name: str,
+    model_tree: Dict[str, Any],
+    train_tree: Optional[Dict[str, Any]] = None,
+) -> str:
+    base = os.path.abspath(os.path.join(output_dir, name))
+    _save_item(os.path.join(base, MODEL_ITEM), model_tree)
+    if train_tree is not None:
+        _save_item(os.path.join(base, TRAIN_ITEM), train_tree)
+    return base
+
+
+def restore_model(path: str, target: Optional[Dict[str, Any]] = None):
+    """Restore {params, batch_stats} from a checkpoint directory."""
+    return _restore_item(os.path.join(os.path.abspath(path), MODEL_ITEM), target)
+
+
+def restore_train(path: str, target: Optional[Dict[str, Any]] = None):
+    """Restore optimizer/progress state; pass the live train tree as target
+    so optax structures come back typed."""
+    return _restore_item(os.path.join(os.path.abspath(path), TRAIN_ITEM), target)
+
+
 def checkpoint_exists(output_dir: str, name: str) -> bool:
-    return os.path.isdir(os.path.join(output_dir, name))
+    return os.path.isdir(os.path.join(output_dir, name, MODEL_ITEM))
 
 
 def promote_best(output_dir: str):

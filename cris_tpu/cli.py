@@ -1,0 +1,107 @@
+"""Shared CLI bootstrap: argument parsing and model/state construction.
+
+Same public surface as the reference entry points
+(/root/reference/train.py:34-51, test.py:21-37):
+``--config path.yaml --opts KEY VALUE ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import jax
+
+# Optional platform override (e.g. CRIS_PLATFORM=cpu for smoke runs on a
+# machine whose site config pins an accelerator plugin).
+if os.environ.get("CRIS_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["CRIS_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import models
+from .utils import config as config_lib
+from .utils.logging import logger
+
+
+def get_parser(description: str = "CRIS-TPU Referring Expression Segmentation"):
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--config", required=True, type=str, help="config file")
+    parser.add_argument(
+        "--opts",
+        default=None,
+        nargs=argparse.REMAINDER,
+        help="override some settings in the config.",
+    )
+    args = parser.parse_args()
+    cfg = config_lib.load_cfg_from_cfg_file(args.config)
+    if args.opts is not None:
+        cfg = config_lib.merge_cfg_from_list(cfg, args.opts)
+    return cfg
+
+
+def build_model_and_variables(
+    cfg, rng: Optional[jax.Array] = None, load_clip: bool = True
+):
+    """Build CRIS and initial variables.
+
+    When cfg.clip_pretrain points at an existing TorchScript archive, the
+    CLIP branch is initialized from it (reference behavior,
+    model/segmenter.py:14-16) and neck/decoder/projector start fresh;
+    otherwise everything starts fresh from the named preset architecture.
+    """
+    clip_config = None
+    clip_vars = None
+    if load_clip and cfg.clip_pretrain and os.path.isfile(cfg.clip_pretrain):
+        from .checkpoint import load_clip_torchscript
+
+        logger.info(f"=> loading CLIP weights from '{cfg.clip_pretrain}'")
+        clip_vars, clip_config = load_clip_torchscript(cfg.clip_pretrain)
+
+    model = models.build_segmenter(cfg, clip_config)
+
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.get("manual_seed", 0))
+    sample_img = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
+    sample_word = jnp.zeros((1, cfg.word_len), jnp.int32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, sample_img, sample_word, train=False
+    )
+    variables = jax.tree_util.tree_map(np.asarray, variables)  # host-side
+
+    if clip_vars is not None:
+        variables = {
+            "params": {**variables["params"], "backbone": clip_vars["params"]},
+            "batch_stats": {
+                **variables["batch_stats"],
+                "backbone": clip_vars["batch_stats"],
+            },
+        }
+    return model, variables
+
+
+def load_initial_weight(cfg, variables):
+    """cfg.weight: path to an initial full-CRIS weight -- either a torch
+    .pth checkpoint or an orbax directory (train.py 'weight:' knob)."""
+    path = cfg.get("weight")
+    if not path:
+        return variables
+    if os.path.isdir(path):
+        from .checkpoint import restore_checkpoint
+
+        logger.info(f"=> loading initial weight (orbax) '{path}'")
+        restored = restore_checkpoint(path, {"params": variables["params"],
+                                             "batch_stats": variables["batch_stats"]})
+        return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+    from .checkpoint import load_cris_checkpoint
+
+    logger.info(f"=> loading initial weight (torch) '{path}'")
+    converted, _ = load_cris_checkpoint(path, cfg.num_layers)
+    return converted
+
+
+def make_mesh_from_cfg(cfg):
+    from .parallel import make_mesh
+
+    return make_mesh(cfg.get("dp_size", -1), cfg.get("tp_size", 1))

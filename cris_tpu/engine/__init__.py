@@ -12,6 +12,7 @@ from .trainer import (
     make_jitted_train_step,
     make_optimizer,
     multistep_schedule,
+    train_epoch,
     train_step,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "make_jitted_train_step",
     "make_optimizer",
     "multistep_schedule",
+    "train_epoch",
     "train_step",
 ]

@@ -120,3 +120,69 @@ def train_step(
 
 def make_jitted_train_step(donate: bool = True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def train_epoch(
+    state: TrainState,
+    loader,
+    jit_step,
+    rng: jax.Array,
+    epoch: int,
+    cfg,
+    batch_sharding=None,
+    tracker=None,
+) -> TrainState:
+    """One epoch of the reference train loop (engine/engine.py:17-87):
+    meters, print_freq progress lines, optional experiment tracking."""
+    import time
+
+    from ..utils.logging import AverageMeter, ProgressMeter, logger
+
+    batch_time = AverageMeter("Batch", ":2.2f")
+    data_time = AverageMeter("Data", ":2.2f")
+    lr_meter = AverageMeter("Lr", ":1.6f")
+    loss_meter = AverageMeter("Loss", ":2.4f")
+    iou_meter = AverageMeter("IoU", ":2.2f")
+    pr_meter = AverageMeter("Prec@50", ":2.2f")
+    progress = ProgressMeter(
+        len(loader),
+        [batch_time, data_time, lr_meter, loss_meter, iou_meter, pr_meter],
+        prefix=f"Training: Epoch=[{epoch}/{cfg.epochs}] ",
+    )
+    cur_lr = lr_at_epoch(
+        cfg.base_lr, cfg.get("milestones", []), cfg.get("lr_decay", 0.1), epoch
+    )
+
+    end = time.time()
+    for i, batch in enumerate(loader):
+        data_time.update(time.time() - end)
+        device_batch = {
+            k: (jax.device_put(batch[k], batch_sharding) if batch_sharding
+                else batch[k])
+            for k in ("image", "word", "mask")
+        }
+        state, metrics = jit_step(state, device_batch, rng)
+
+        n = batch["image"].shape[0]
+        loss_meter.update(float(metrics["loss"]), n)
+        iou_meter.update(float(metrics["iou"]), n)
+        pr_meter.update(float(metrics["prec@50"]), n)
+        lr_meter.update(cur_lr)
+        batch_time.update(time.time() - end)
+        end = time.time()
+
+        if (i + 1) % cfg.get("print_freq", 100) == 0:
+            progress.display(i + 1)
+            if tracker is not None:
+                tracker.log(
+                    {
+                        "time/batch": batch_time.val,
+                        "time/data": data_time.val,
+                        "training/lr": lr_meter.val,
+                        "training/loss": loss_meter.val,
+                        "training/iou": iou_meter.val,
+                        "training/prec@50": pr_meter.val,
+                    },
+                    step=epoch * len(loader) + (i + 1),
+                )
+    return state

@@ -72,6 +72,20 @@ CLIP_PRESETS = {
         transformer_heads=8,
         transformer_layers=12,
     ),
+    # Small architecture for smoke tests / CI / dry runs (no released
+    # weights; full CLIP vocab so the real tokenizer works unchanged).
+    "TINY": CLIPConfig(
+        embed_dim=64,
+        image_resolution=64,
+        vision_layers=(1, 1, 1, 1),
+        vision_width=16,
+        vision_patch_size=None,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=64,
+        transformer_heads=4,
+        transformer_layers=2,
+    ),
 }
 
 

@@ -120,20 +120,28 @@ def test_batch_stats_update(trained_bits):
 
 
 def test_checkpoint_roundtrip(tmp_path, trained_bits):
-    from cris_tpu.checkpoint import restore_checkpoint, save_checkpoint
+    from cris_tpu.checkpoint import restore_model, restore_train, save_checkpoint
 
     model, state, step, batch = trained_bits
-    tree = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
+    model_tree = {"params": state.params, "batch_stats": state.batch_stats}
+    train_tree = {
         "opt_state": state.opt_state,
+        "step": np.asarray(int(state.step)),
         "epoch": np.asarray(3),
         "best_iou": np.asarray(0.5),
+        "cur_iou": np.asarray(0.4),
+        "prec": {f"Pr@{t}": np.asarray(0.1) for t in (50, 60, 70, 80, 90)},
     }
-    save_checkpoint(str(tmp_path), "last_model", tree)
-    restored = restore_checkpoint(str(tmp_path / "last_model"), tree)
-    assert int(restored["epoch"]) == 3
-    before = jax.tree_util.tree_leaves(tree["params"])
-    after = jax.tree_util.tree_leaves(restored["params"])
+    save_checkpoint(str(tmp_path), "last_model", model_tree, train_tree)
+
+    restored_m = restore_model(str(tmp_path / "last_model"), model_tree)
+    restored_t = restore_train(str(tmp_path / "last_model"), train_tree)
+    assert int(restored_t["epoch"]) == 3
+    # optax structure restored typed (tuples/namedtuples preserved)
+    assert jax.tree_util.tree_structure(
+        restored_t["opt_state"]
+    ) == jax.tree_util.tree_structure(state.opt_state)
+    before = jax.tree_util.tree_leaves(model_tree["params"])
+    after = jax.tree_util.tree_leaves(restored_m["params"])
     for a, b in zip(before, after):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
