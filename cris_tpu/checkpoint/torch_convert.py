@@ -16,9 +16,8 @@ Layout transforms:
   BatchNorm running_mean/var          -> batch_stats {mean, var}
 
 Outputs are {'params': ..., 'batch_stats': ...} variable pytrees matching
-cris_tpu.models module structure. 'logit_scale' (unused by CRIS's forward;
-the reason the reference needs DDP find_unused_parameters=True) and
-'num_batches_tracked' are dropped.
+cris_tpu.models module structure. 'num_batches_tracked' is dropped (our
+BatchNorm uses constant momentum, as the reference's does in practice).
 """
 
 from __future__ import annotations
@@ -233,6 +232,8 @@ def convert_clip(sd: Mapping[str, Any], dst_prefix: Tuple[str, ...] = ()):
             tb, sd, "visual", dst_prefix + ("visual",), cfg.vision_layers
         )
     _convert_text(tb, sd, "", dst_prefix + ("text",), cfg.transformer_layers)
+    if "logit_scale" in sd:
+        tb.param(dst_prefix + ("logit_scale",), sd["logit_scale"])
     return {"params": tb.params, "batch_stats": tb.stats}, cfg
 
 

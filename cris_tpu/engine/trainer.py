@@ -137,6 +137,10 @@ def train_epoch(
     import time
 
     from ..utils.logging import AverageMeter, ProgressMeter, logger
+    from ..utils.profiling import StepTimer
+
+    # device trace of steps 10-15 of epoch 1 when cfg.profile_dir is set
+    timer = StepTimer(cfg.get("profile_dir") if epoch == 1 else None)
 
     batch_time = AverageMeter("Batch", ":2.2f")
     data_time = AverageMeter("Data", ":2.2f")
@@ -155,6 +159,7 @@ def train_epoch(
 
     end = time.time()
     for i, batch in enumerate(loader):
+        timer.step(i)
         data_time.update(time.time() - end)
         device_batch = {
             k: (jax.device_put(batch[k], batch_sharding) if batch_sharding
@@ -185,4 +190,5 @@ def train_epoch(
                     },
                     step=epoch * len(loader) + (i + 1),
                 )
+    timer.close()
     return state

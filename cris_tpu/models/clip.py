@@ -106,6 +106,14 @@ class CLIP(nn.Module):
     dtype: Optional[Dtype] = None
 
     def setup(self):
+        import numpy as np
+
+        # contrastive temperature (clip.py:385); unused by CRIS's forward --
+        # the reason the reference needs DDP find_unused_parameters=True
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda rng: jnp.asarray(np.log(1.0 / 0.07), jnp.float32),
+        )
         cfg = self.config
         if cfg.is_vit:
             self.visual = VisionTransformer(
@@ -144,3 +152,24 @@ class CLIP(nn.Module):
 
     def __call__(self, image, text, train: bool = False):
         return self.encode_image(image, train), self.encode_text(text)
+
+    def contrastive_logits(self, image, text, train: bool = False):
+        """Standalone CLIP similarity logits (clip.py:458-474). The dense
+        ModifiedResNet returns feature maps; its pooled embedding is the
+        attention-pooled map averaged over space."""
+        image_features = self.encode_image(image, train)
+        if isinstance(image_features, tuple):
+            image_features = jnp.mean(image_features[-1], axis=(1, 2))
+        _, text_features = self.encode_text(text)
+
+        image_features = image_features / jnp.linalg.norm(
+            image_features, axis=-1, keepdims=True
+        )
+        text_features = text_features / jnp.linalg.norm(
+            text_features, axis=-1, keepdims=True
+        )
+        logit_scale = jnp.exp(self.logit_scale)
+        logits_per_image = logit_scale * (
+            image_features.astype(jnp.float32) @ text_features.astype(jnp.float32).T
+        )
+        return logits_per_image, logits_per_image.T

@@ -56,6 +56,21 @@ def dot_product_attention(
     kh = split_heads(k, num_heads)
     vh = split_heads(v, num_heads)
 
+    # Fused Pallas kernel path: logits never touch HBM. Engaged for the
+    # deterministic unbiased-mask sites (decoder self/cross-attn, attnpool);
+    # the causal text encoder and attention-dropout training path stay on
+    # XLA.
+    use_dropout = dropout_rate > 0.0 and not deterministic
+    if attn_mask is None and not use_dropout and head_dim <= 128:
+        from .pallas import fused_attention, pallas_enabled
+
+        if pallas_enabled() and k.shape[1] <= 2048:
+            kv_valid = None
+            if key_padding_mask is not None:
+                kv_valid = ~key_padding_mask
+            out = fused_attention(qh, kh, vh, kv_valid)
+            return merge_heads(out)
+
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
     )

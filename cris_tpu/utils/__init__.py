@@ -3,9 +3,11 @@ from .logging import (
     AverageMeter,
     ExperimentTracker,
     ProgressMeter,
+    log_exceptions,
     logger,
     setup_logger,
 )
+from .profiling import StepTimer, annotate, trace
 from .seed import epoch_key, init_random_seed, root_key, worker_seed
 from .tokenizer import ClipBPETokenizer, get_tokenizer, tokenize
 
@@ -17,6 +19,10 @@ __all__ = [
     "ProgressMeter",
     "ExperimentTracker",
     "logger",
+    "log_exceptions",
+    "StepTimer",
+    "annotate",
+    "trace",
     "setup_logger",
     "init_random_seed",
     "root_key",

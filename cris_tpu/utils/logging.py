@@ -96,6 +96,23 @@ class ProgressMeter:
         logger.info("  ".join(entries))
 
 
+def log_exceptions(fn):
+    """Log uncaught exceptions through the package logger before re-raising
+    (the stdlib equivalent of the reference's @logger.catch entry-point
+    traps, train.py:54 / test.py:40)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except Exception:
+            logger.exception(f"uncaught exception in {fn.__name__}")
+            raise
+
+    return wrapper
+
+
 class ExperimentTracker:
     """Optional wandb-compatible metric sink; silently no-ops without wandb."""
 

@@ -19,9 +19,10 @@ from cris_tpu.data import RefDataset
 from cris_tpu.engine import Evaluator
 from cris_tpu.parallel import make_param_shardings
 from cris_tpu.utils import setup_logger
-from cris_tpu.utils.logging import logger
+from cris_tpu.utils.logging import log_exceptions, logger
 
 
+@log_exceptions
 def main():
     cfg = cli.get_parser("CRIS-TPU evaluation")
     cfg.output_dir = os.path.join(cfg.output_folder, cfg.exp_name)

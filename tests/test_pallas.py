@@ -1,0 +1,85 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the XLA reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cris_tpu.ops.attention import dot_product_attention, merge_heads, split_heads
+from cris_tpu.ops.pallas.attention import fused_attention
+
+
+def _xla_reference(q, k, v, num_heads, kv_valid=None):
+    key_padding_mask = None if kv_valid is None else ~kv_valid
+    return dot_product_attention(
+        q, k, v, num_heads, key_padding_mask=key_padding_mask
+    )
+
+
+@pytest.mark.parametrize(
+    "b,h,s,t,d",
+    [
+        (2, 8, 676, 676, 64),   # decoder self-attention
+        (2, 8, 676, 17, 64),    # decoder cross-attention
+        (2, 32, 169, 169, 64),  # attnpool
+        (1, 4, 100, 37, 32),    # odd sizes exercise padding
+    ],
+)
+def test_fused_attention_matches_xla(b, h, s, t, d):
+    rng = np.random.RandomState(0)
+    q = rng.randn(b, s, h * d).astype(np.float32)
+    k = rng.randn(b, t, h * d).astype(np.float32)
+    v = rng.randn(b, t, h * d).astype(np.float32)
+    kv_valid = np.ones((b, t), bool)
+    kv_valid[0, t // 2 :] = False  # padded keys on sample 0
+
+    ref = _xla_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), h, jnp.asarray(kv_valid)
+    )
+    got = merge_heads(
+        fused_attention(
+            split_heads(jnp.asarray(q), h),
+            split_heads(jnp.asarray(k), h),
+            split_heads(jnp.asarray(v), h),
+            jnp.asarray(kv_valid),
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_no_mask():
+    rng = np.random.RandomState(1)
+    b, h, s, d = 2, 4, 130, 64
+    q = split_heads(jnp.asarray(rng.randn(b, s, h * d).astype(np.float32)), h)
+    k = split_heads(jnp.asarray(rng.randn(b, s, h * d).astype(np.float32)), h)
+    v = split_heads(jnp.asarray(rng.randn(b, s, h * d).astype(np.float32)), h)
+    got = fused_attention(q, k, v, interpret=True)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d**-0.5)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_bf16():
+    rng = np.random.RandomState(2)
+    b, h, s, d = 1, 2, 64, 64
+    mk = lambda: jnp.asarray(rng.randn(b, h, s, d).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    q, k, v = mk(), mk(), mk()
+    got = fused_attention(q, k, v, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (d**-0.5)
+    p = jax.nn.softmax(logits, -1)
+    ref = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(jnp.bfloat16), v,
+        preferred_element_type=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

@@ -34,9 +34,10 @@ from cris_tpu.engine import (
 )
 from cris_tpu.parallel import batch_sharding, make_param_shardings
 from cris_tpu.utils import ExperimentTracker, init_random_seed, root_key, setup_logger
-from cris_tpu.utils.logging import logger
+from cris_tpu.utils.logging import log_exceptions, logger
 
 
+@log_exceptions
 def main():
     cfg = cli.get_parser("CRIS-TPU training")
     cfg.manual_seed = init_random_seed(cfg.get("manual_seed"))
