@@ -98,6 +98,55 @@ class RefDataset:
     def __len__(self) -> int:
         return len(self.backend)
 
+    def get_batch(self, indices, rngs=None):
+        """Batched sample loading through the native C++ data plane (one
+        GIL release decodes/warps/normalizes the whole batch); falls back
+        to per-sample Python when the native library is unavailable or the
+        mode is 'test' (which needs raw original images)."""
+        from . import native
+
+        if self.mode == "test" or not native.available():
+            rngs = rngs or [None] * len(indices)
+            return [
+                self.__getitem__(int(i), rng=r) for i, r in zip(indices, rngs)
+            ]
+
+        records = [self.backend[int(i)] for i in indices]
+        img_bytes = [r["img"] for r in records]
+        mask_bytes = [r["mask"] for r in records] if self.mode == "train" else None
+        images, masks, invs, oris = native.batch_preprocess(
+            img_bytes, mask_bytes, self.input_size[0]
+        )
+
+        samples = []
+        rngs = rngs or [None] * len(indices)
+        for j, rec in enumerate(records):
+            sents = rec["sents"]
+            if self.mode == "train":
+                rng = rngs[j] or np.random
+                sent = sents[int(rng.choice(rec["num_sents"]))]
+                samples.append(
+                    {
+                        "image": images[j],
+                        "word": tokenize(sent, self.word_length, True)[0],
+                        "mask": masks[j][..., None],
+                    }
+                )
+            else:  # val
+                samples.append(
+                    {
+                        "image": images[j],
+                        "word": tokenize(sents[0], self.word_length, True)[0],
+                        "seg_id": rec["seg_id"],
+                        "mask_path": os.path.join(
+                            self.mask_root or "", f"{rec['seg_id']}.png"
+                        ),
+                        "inverse": invs[j],
+                        "ori_size": oris[j],
+                    }
+                )
+        return samples
+
     def __getitem__(self, index: int, rng: Optional[np.random.RandomState] = None):
         rec = self.backend[index]
         ori_img = decode_image(rec["img"])  # BGR

@@ -90,10 +90,14 @@ class RefDataLoader:
         )
 
     def _load_batch(self, idxs: np.ndarray) -> Dict[str, Any]:
-        samples = [
-            self.dataset.__getitem__(int(i), rng=self._sample_rng(int(i)))
-            for i in idxs
-        ]
+        rngs = [self._sample_rng(int(i)) for i in idxs]
+        if hasattr(self.dataset, "get_batch"):
+            samples = self.dataset.get_batch(idxs, rngs)
+        else:
+            samples = [
+                self.dataset.__getitem__(int(i), rng=r)
+                for i, r in zip(idxs, rngs)
+            ]
         valid = np.ones(self.batch_size, bool)
         if len(samples) < self.batch_size:
             valid[len(samples) :] = False

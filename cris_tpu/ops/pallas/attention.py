@@ -59,7 +59,7 @@ def fused_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_valid: Optional[jnp.ndarray] = None,
-    block_q: int = 128,
+    block_q: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused softmax attention over (B, H, S, D) tensors.
@@ -71,6 +71,10 @@ def fused_attention(
     t = k.shape[2]
     scale = d**-0.5
 
+    if block_q is None:
+        # one program per (batch, head) when the whole Sq fits (measured
+        # fastest for the 676-token decoder: K/V loaded once per head)
+        block_q = min(_round_up(s, 128), 768)
     s_pad = _round_up(s, block_q)
     t_pad = _round_up(max(t, 128), 128)
 
