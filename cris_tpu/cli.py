@@ -26,6 +26,23 @@ from .utils import config as config_lib
 from .utils.logging import logger
 
 
+def maybe_init_distributed():
+    """Multi-host initialization over DCN (the reference's NCCL rendezvous,
+    train.py:80-83, becomes jax.distributed). Engaged when the standard
+    coordinator env vars are present; single-host runs skip it."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+            logger.info(
+                f"jax.distributed initialized: process "
+                f"{jax.process_index()}/{jax.process_count()}"
+            )
+        except Exception as e:  # already initialized or misconfigured
+            logger.warning(f"jax.distributed.initialize skipped: {e}")
+
+
 def get_parser(description: str = "CRIS-TPU Referring Expression Segmentation"):
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--config", required=True, type=str, help="config file")

@@ -54,6 +54,7 @@ def build_segmenter(cfg, clip_config: CLIPConfig = None) -> CRIS:
         dropout=cfg.dropout,
         intermediate=cfg.get("intermediate", False),
         dtype=resolve_dtype(cfg.get("precision", "bf16")),
+        remat=bool(cfg.get("remat", False)),
     )
 
 

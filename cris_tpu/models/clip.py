@@ -104,6 +104,7 @@ class CLIP(nn.Module):
 
     config: CLIPConfig
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     def setup(self):
         import numpy as np
@@ -133,6 +134,7 @@ class CLIP(nn.Module):
                 input_resolution=cfg.image_resolution,
                 width=cfg.vision_width,
                 dtype=self.dtype,
+                remat=self.remat,
             )
         self.text = TextEncoder(
             vocab_size=cfg.vocab_size,

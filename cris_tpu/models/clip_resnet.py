@@ -128,6 +128,7 @@ class ModifiedResNet(nn.Module):
     input_resolution: int = 224
     width: int = 64
     dtype: Optional[Dtype] = None
+    remat: bool = False  # rematerialize bottlenecks in backward (saves HBM)
 
     @nn.compact
     def __call__(
@@ -156,12 +157,17 @@ class ModifiedResNet(nn.Module):
             stem_conv(w, 1, "conv3")(x), train))
         x = avg_pool2d(x, 2)
 
+        # static_argnums: 0=self(module), 1=x, 2=train
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+        )
+
         def stage(x, planes, blocks, stride, stage_idx):
-            x = Bottleneck(
+            x = block_cls(
                 planes, stride, dtype=self.dtype, name=f"layer{stage_idx}_0"
             )(x, train)
             for j in range(1, blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes, 1, dtype=self.dtype, name=f"layer{stage_idx}_{j}"
                 )(x, train)
             return x

@@ -132,6 +132,7 @@ class TransformerDecoder(nn.Module):
     dropout: float
     return_intermediate: bool = False
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -148,9 +149,15 @@ class TransformerDecoder(nn.Module):
 
         x = vis.reshape(b, h * w, d)
         norm = LayerNormF32(self.d_model, name="norm")
+        # static_argnums: 0=self, 1..5=tensors, 6=train
+        layer_cls = (
+            nn.remat(TransformerDecoderLayer, static_argnums=(6,))
+            if self.remat
+            else TransformerDecoderLayer
+        )
         intermediate = []
         for i in range(self.num_layers):
-            x = TransformerDecoderLayer(
+            x = layer_cls(
                 self.d_model,
                 self.nhead,
                 self.dim_ffn,

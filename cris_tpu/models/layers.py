@@ -48,10 +48,10 @@ class BatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
-        x32 = x.astype(jnp.float32)
         reduce_axes = tuple(range(x.ndim - 1))
 
         if train:
+            x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=reduce_axes)
             mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
             var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
@@ -70,9 +70,17 @@ class BatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
+        # per-channel affine prepared in fp32 (cheap: C elements), applied in
+        # the compute dtype -- avoids casting the full activation to fp32,
+        # which would double HBM traffic around every BN
         inv = jnp.reciprocal(jnp.sqrt(var + self.eps)) * scale
-        y = (x32 - mean) * inv + bias
-        return y.astype(self.dtype or x.dtype)
+        shift = bias - mean * inv
+        out_dtype = self.dtype or x.dtype
+        if out_dtype == jnp.float32:
+            y = x.astype(jnp.float32) * inv + shift
+        else:
+            y = x.astype(out_dtype) * inv.astype(out_dtype) + shift.astype(out_dtype)
+        return y.astype(out_dtype)
 
 
 class LayerNormF32(nn.Module):

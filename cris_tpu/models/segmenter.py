@@ -45,9 +45,10 @@ class CRIS(nn.Module):
     dropout: float = 0.1
     intermediate: bool = False
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     def setup(self):
-        self.backbone = CLIP(self.clip_config, dtype=self.dtype)
+        self.backbone = CLIP(self.clip_config, dtype=self.dtype, remat=self.remat)
         self.neck = FPN(tuple(self.fpn_in), tuple(self.fpn_out), dtype=self.dtype)
         self.decoder = TransformerDecoder(
             num_layers=self.num_layers,
@@ -57,6 +58,7 @@ class CRIS(nn.Module):
             dropout=self.dropout,
             return_intermediate=self.intermediate,
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.proj = Projector(
             word_dim=self.clip_config.embed_dim,
