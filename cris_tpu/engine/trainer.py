@@ -5,6 +5,12 @@ TPU-native equivalents of the reference training stack
 - Adam with two LR groups (CLIP backbone at lr_multi x base_lr, head at
   base_lr, positional embeddings counted as head) via optax.multi_transform;
 - MultiStepLR epoch-milestone decay as a step schedule;
+  (reference quirk, not replicated: the reference passes 'initial_lr' --
+  not 'lr' -- in its param groups (model/__init__.py:42-48), so torch Adam
+  runs BOTH groups at base_lr for epoch 1; the closed-form MultiStepLR
+  then resets LRs from initial_lr at the first scheduler.step(epoch)
+  (train.py:210). Here the backbone group is at lr_multi x base_lr from
+  step 0, which is the documented intent.)
 - optional global-norm gradient clipping (max_norm);
 - bf16 compute with fp32 params -- no GradScaler: bf16 keeps the fp32
   exponent range so loss scaling is unnecessary on TPU;

@@ -60,8 +60,9 @@ def build_segmenter(cfg, clip_config: CLIPConfig = None) -> CRIS:
 
 def param_group_label(path: Tuple[str, ...]) -> str:
     """'backbone' for CLIP params except positional embeddings, else 'head'
-    (reference split at /root/reference/model/__init__.py:36-40)."""
-    flat = "/".join(str(p) for p in path)
+    (reference split at /root/reference/model/__init__.py:36-40).
+    Path entries may be plain strings or jax KeyEntry objects (DictKey)."""
+    flat = "/".join(getattr(p, "key", None) or str(p) for p in path)
     if flat.startswith("backbone") and "positional_embedding" not in flat:
         return "backbone"
     return "head"
