@@ -52,11 +52,11 @@ def infer_clip_config(sd: Mapping[str, Any]) -> CLIPConfig:
     if "visual.proj" in sd:
         vision_width = _np(sd["visual.conv1.weight"]).shape[0]
         vision_layers = len(
-            {
-                k.split(".")[2]
+            [
+                k
                 for k in sd
                 if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")
-            }
+            ]
         )
         vision_patch_size = _np(sd["visual.conv1.weight"]).shape[-1]
         grid = round((_np(sd["visual.positional_embedding"]).shape[0] - 1) ** 0.5)
@@ -238,9 +238,10 @@ def convert_clip(sd: Mapping[str, Any], dst_prefix: Tuple[str, ...] = ()):
 
 
 def _vit_layers(sd) -> int:
+    # 'visual.transformer.resblocks.<i>.xxx' -> block index is component 3
     return len(
         {
-            k.split(".")[2]
+            k.split(".")[3]
             for k in sd
             if k.startswith("visual.transformer.resblocks")
         }

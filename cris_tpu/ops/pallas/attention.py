@@ -53,7 +53,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -66,7 +66,15 @@ def fused_attention(
 
     kv_valid: optional (B, T) bool/int, nonzero = valid key. Padding that
     this function adds internally is masked automatically.
+
+    Differentiable: the forward runs the Pallas kernel; the backward
+    recomputes attention weights with plain XLA einsums (standard softmax
+    attention gradients). kv_valid is treated as non-differentiable.
     """
+    return _fused_attention_fwd_impl(q, k, v, kv_valid, block_q, interpret)
+
+
+def _fused_attention_fwd_impl(q, k, v, kv_valid, block_q, interpret):
     b, h, s, d = q.shape
     t = k.shape[2]
     scale = d**-0.5
@@ -119,3 +127,51 @@ def fused_attention(
         interpret=interpret,
     )(qp, kp, vp, valid)
     return out[:, :, :s, :]
+
+
+def _fused_attention_fwd(q, k, v, kv_valid, block_q, interpret):
+    out = _fused_attention_fwd_impl(q, k, v, kv_valid, block_q, interpret)
+    return out, (q, k, v, kv_valid)
+
+
+def _fused_attention_bwd(block_q, interpret, residuals, g):
+    """Standard softmax-attention gradients, recomputing P in fp32 XLA.
+
+    P = softmax(s*QK^T + mask); O = P V
+    dV = P^T g ; dP = g V^T ; dS = P * (dP - rowsum(dP * P))
+    dQ = s * dS K ; dK = s * dS^T Q
+    """
+    q, k, v, kv_valid = residuals
+    d = q.shape[-1]
+    scale = d**-0.5
+
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ).astype(jnp.float32) * scale
+    if kv_valid is not None:
+        logits = jnp.where(
+            (kv_valid > 0)[:, None, None, :], logits, NEG_INF
+        )
+    p = jax.nn.softmax(logits, axis=-1)
+
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum(
+        "bhqk,bhqd->bhkd", p, g32, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    dp = jnp.einsum(
+        "bhqd,bhkd->bhqk", g32, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (
+        jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * scale
+    ).astype(q.dtype)
+    dk = (
+        jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * scale
+    ).astype(k.dtype)
+    return dq, dk, dv, None
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)

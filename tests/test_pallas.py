@@ -83,3 +83,30 @@ def test_fused_attention_bf16():
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_fused_attention_gradients_match_xla():
+    rng = np.random.RandomState(3)
+    b, h, s, t, d = 1, 2, 40, 20, 32
+    q = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+    kv_valid = np.ones((b, t), bool)
+    kv_valid[0, 15:] = False
+    kv_valid = jnp.asarray(kv_valid)
+
+    def pallas_loss(q, k, v):
+        return fused_attention(q, k, v, kv_valid, None, True).sum()
+
+    def xla_loss(q, k, v):
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d**-0.5)
+        logits = jnp.where(kv_valid[:, None, None, :], logits, -1e30)
+        p = jax.nn.softmax(logits, -1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v).sum()
+
+    gp = jax.grad(pallas_loss, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(xla_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        )
