@@ -64,7 +64,7 @@ def batch_preprocess(
     img_bytes: Sequence[bytes],
     mask_bytes: Optional[Sequence[bytes]],
     input_size: int,
-    nthreads: int = 4,
+    nthreads: Optional[int] = None,
     want_inverse: bool = True,
 ) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray, np.ndarray]:
     """Decode+warp+normalize a batch.
@@ -76,6 +76,8 @@ def batch_preprocess(
     if lib is None:
         raise RuntimeError("native data plane unavailable")
     n = len(img_bytes)
+    if nthreads is None:
+        nthreads = min(os.cpu_count() or 1, n)
 
     img_arrs = [np.frombuffer(b, np.uint8) for b in img_bytes]
     img_ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(

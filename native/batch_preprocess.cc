@@ -78,21 +78,26 @@ int process_one(const Job& job, int inp) {
                  cv::Scalar(kClipMean[0] * 255.0, kClipMean[1] * 255.0,
                             kClipMean[2] * 255.0));
 
-  // fused normalize: out = px * (1/(255*std)) - mean/std, NHWC float32
-  cv::Mat out(inp, inp, CV_32FC3, job.img_out);
-  const double s0 = 1.0 / (255.0 * kClipStd[0]);
-  const double s1 = 1.0 / (255.0 * kClipStd[1]);
-  const double s2 = 1.0 / (255.0 * kClipStd[2]);
-  const double b0 = -kClipMean[0] / kClipStd[0];
-  const double b1 = -kClipMean[1] / kClipStd[1];
-  const double b2 = -kClipMean[2] / kClipStd[2];
-  std::vector<cv::Mat> ch(3);
-  cv::split(warped, ch);
-  std::vector<cv::Mat> out_ch(3);
-  ch[0].convertTo(out_ch[0], CV_32F, s0, b0);
-  ch[1].convertTo(out_ch[1], CV_32F, s1, b1);
-  ch[2].convertTo(out_ch[2], CV_32F, s2, b2);
-  cv::merge(out_ch, out);
+  // fused normalize: out = px * (1/(255*std)) - mean/std, NHWC float32,
+  // single pass via 256-entry per-channel lookup tables
+  static thread_local float lut[3][256];
+  static thread_local bool lut_ready = false;
+  if (!lut_ready) {
+    for (int c = 0; c < 3; ++c) {
+      const float s = static_cast<float>(1.0 / (255.0 * kClipStd[c]));
+      const float b = static_cast<float>(-kClipMean[c] / kClipStd[c]);
+      for (int p = 0; p < 256; ++p) lut[c][p] = p * s + b;
+    }
+    lut_ready = true;
+  }
+  const uint8_t* src = warped.ptr<uint8_t>(0);
+  float* dst = job.img_out;
+  const size_t npix = static_cast<size_t>(inp) * inp;
+  for (size_t i = 0; i < npix; ++i) {
+    dst[3 * i + 0] = lut[0][src[3 * i + 0]];
+    dst[3 * i + 1] = lut[1][src[3 * i + 1]];
+    dst[3 * i + 2] = lut[2][src[3 * i + 2]];
+  }
 
   if (job.mask != nullptr && job.mask_out != nullptr) {
     cv::Mat mraw(1, static_cast<int>(job.mask_len), CV_8UC1,

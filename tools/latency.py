@@ -3,8 +3,13 @@
 Same contract as /root/reference/tools/latency.py:38-72: 500 forward
 passes of a (1, 416, 416, 3) image + random tokens (first 100 warmup),
 reporting parameter count (M), FPS, and device memory (GB).
+
+Extra: --opts TEST.visualize unchanged; pass env CRIS_LATENCY_TRAIN=1 to
+time the full training step (fwd+bwd+optimizer) instead, and
+CRIS_LATENCY_BATCH=N to change the batch size (default 1).
 """
 
+import os
 import sys
 import time
 
@@ -33,21 +38,46 @@ def main():
     cfg = cli.get_parser("CRIS-TPU latency")
     model, variables = cli.build_model_and_variables(cfg)
     variables = jax.device_put(variables)
-
-    @jax.jit
-    def forward(variables, image, word):
-        return model.apply(variables, image, word, train=False)
+    train_mode = os.environ.get("CRIS_LATENCY_TRAIN") == "1"
+    batch = int(os.environ.get("CRIS_LATENCY_BATCH", "1"))
 
     rng = np.random.RandomState(0)
     size = cfg.input_size
-    image = jnp.asarray(rng.randn(1, size, size, 3).astype(np.float32))
-    word = jnp.asarray(rng.randint(0, 4096, (1, cfg.word_len)).astype(np.int32))
+    image = jnp.asarray(rng.randn(batch, size, size, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(0, 4096, (batch, cfg.word_len)).astype(np.int32))
 
-    n_iters, warmup = 500, 100
+    if train_mode:
+        from cris_tpu.engine import create_train_state, make_optimizer, train_step
+
+        mask = jnp.asarray(
+            (rng.rand(batch, size, size, 1) > 0.5).astype(np.float32)
+        )
+        state = create_train_state(model, variables, make_optimizer(cfg, 100))
+        jit_step = jax.jit(train_step)
+        key = jax.random.PRNGKey(0)
+
+        def run():
+            nonlocal state
+            state, metrics = jit_step(
+                state, {"image": image, "word": word, "mask": mask}, key
+            )
+            return metrics["loss"]
+
+        step_fn = lambda: float(run())
+        n_iters, warmup = 30, 5
+    else:
+
+        @jax.jit
+        def forward(variables, image, word):
+            return model.apply(variables, image, word, train=False)
+
+        step_fn = lambda: forward(variables, image, word).block_until_ready()
+        n_iters, warmup = 500, 100
+
     avg_time = 0.0
     for i in range(n_iters):
         start = time.time()
-        forward(variables, image, word).block_until_ready()
+        step_fn()
         if (i + 1) >= warmup:
             avg_time += time.time() - start
     timed = n_iters - warmup
