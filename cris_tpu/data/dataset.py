@@ -98,6 +98,45 @@ class RefDataset:
     def __len__(self) -> int:
         return len(self.backend)
 
+    def _getitem_prewarped(self, rec, rng=None):
+        """Fast path over records produced by tools/prewarp.py: the
+        deterministic letterbox warp is baked in, so per-sample host work
+        is a normalize + tokenize. Identical outputs to the on-the-fly
+        path (same ops, applied offline)."""
+        size = self.input_size[0]
+        img = np.frombuffer(rec["warped"], np.uint8).reshape(size, size, 3)
+        sents = rec["sents"]
+        seg_id = rec["seg_id"]
+        mask_path = os.path.join(self.mask_root or "", f"{seg_id}.png")
+
+        if self.mode == "train":
+            mask = np.frombuffer(rec["warped_mask"], np.float16).reshape(
+                size, size, 1
+            )
+            rng = rng or np.random
+            sent = sents[int(rng.choice(rec["num_sents"]))]
+            return {
+                "image": normalize_image(img),
+                "word": tokenize(sent, self.word_length, True)[0],
+                "mask": mask.astype(np.float32),
+            }
+        base = {
+            "image": normalize_image(img),
+            "seg_id": seg_id,
+            "mask_path": mask_path,
+            "inverse": np.frombuffer(rec["inverse"], np.float64).reshape(2, 3),
+            "ori_size": np.frombuffer(rec["ori_size"], np.int32).copy(),
+        }
+        if self.mode == "val":
+            base["word"] = tokenize(sents[0], self.word_length, True)[0]
+            return base
+        base["sents"] = list(sents)
+        # test mode wants the original image for visualization dumps;
+        # prewarped records carry it only if packed with --keep-ori
+        if "img" in rec:
+            base["ori_img"] = decode_image(rec["img"])
+        return base
+
     def get_batch(self, indices, rngs=None):
         """Batched sample loading through the native C++ data plane (one
         GIL release decodes/warps/normalizes the whole batch); falls back
@@ -112,6 +151,9 @@ class RefDataset:
             ]
 
         records = [self.backend[int(i)] for i in indices]
+        if records and "warped" in records[0]:
+            rngs = rngs or [None] * len(indices)
+            return [self._getitem_prewarped(r, rng) for r, rng in zip(records, rngs)]
         img_bytes = [r["img"] for r in records]
         mask_bytes = [r["mask"] for r in records] if self.mode == "train" else None
         images, masks, invs, oris = native.batch_preprocess(
@@ -149,6 +191,8 @@ class RefDataset:
 
     def __getitem__(self, index: int, rng: Optional[np.random.RandomState] = None):
         rec = self.backend[index]
+        if "warped" in rec:
+            return self._getitem_prewarped(rec, rng)
         ori_img = decode_image(rec["img"])  # BGR
         img = ori_img[:, :, ::-1]  # RGB
         img_size = img.shape[:2]

@@ -85,6 +85,7 @@ class Evaluator:
                         batch["mask_path"][i],
                     )
                 )
+        iou_list = self._allgather_ious(iou_list)
         iou, prec = summarize_ious(iou_list)
         header = f"Evaluation: Epoch=[{epoch}/{epochs}]  IoU={100.0 * iou:.2f}"
         parts = "  ".join(
@@ -92,6 +93,21 @@ class Evaluator:
         )
         logger.info(f"{header}  {parts}")
         return iou, prec
+
+    @staticmethod
+    def _allgather_ious(iou_list: List[float]) -> List[float]:
+        """Concatenate per-sample IoUs across hosts (the reference's
+        concat_all_gather, utils/misc.py:45-58). The per-process loader
+        shards are padded to equal length, so every host contributes the
+        same count and the gather is a fixed-shape all_gather over DCN."""
+        if jax.process_count() == 1:
+            return iou_list
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            np.asarray(iou_list, np.float64)
+        )
+        return list(np.asarray(gathered).reshape(-1))
 
     def _finish_sample(self, probs, inv_mat, ori_size, mask_path) -> float:
         h, w = int(ori_size[0]), int(ori_size[1])

@@ -142,3 +142,38 @@ def test_loader_process_sharding():
     # some twice, total = ceil(10/4)*4
     assert len(seen) == 12
     assert set(seen) == set(range(10))
+
+
+def test_prewarp_pack_matches_live_pipeline(tmp_path):
+    """tools/prewarp.py output must yield identical samples to the
+    on-the-fly path (same ops, applied offline)."""
+    import subprocess
+    import sys
+
+    src = "synthetic://6?seed=40"
+    out = str(tmp_path / "train.refpack")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "prewarp.py"),
+         "-i", src, "-o", out, "--input-size", "416", "--keep-ori"],
+        capture_output=True, text=True,
+        env=dict(os.environ, CRIS_PLATFORM="cpu"),
+    )
+    assert r.returncode == 0, r.stderr
+
+    for mode in ("train", "val", "test"):
+        live = RefDataset(src, None, "synthetic", "val", mode, 416, 17)
+        fast = RefDataset(out, live.mask_root, "synthetic", "val", mode, 416, 17)
+        for i in range(3):
+            a = live.__getitem__(i, rng=np.random.RandomState(i))
+            b = fast.__getitem__(i, rng=np.random.RandomState(i))
+            np.testing.assert_array_equal(a["image"], b["image"])
+            if mode == "train":
+                np.testing.assert_array_equal(a["word"], b["word"])
+                np.testing.assert_allclose(a["mask"], b["mask"], atol=5e-4)
+            else:
+                np.testing.assert_allclose(a["inverse"], b["inverse"], atol=1e-12)
+                np.testing.assert_array_equal(a["ori_size"], b["ori_size"])
+            if mode == "test":
+                assert a["sents"] == b["sents"]
+                np.testing.assert_array_equal(a["ori_img"], b["ori_img"])
