@@ -56,8 +56,41 @@ def save_checkpoint(
 
 
 def restore_model(path: str, target: Optional[Dict[str, Any]] = None):
-    """Restore {params, batch_stats} from a checkpoint directory."""
-    return _restore_item(os.path.join(os.path.abspath(path), MODEL_ITEM), target)
+    """Restore {params, batch_stats} from a checkpoint directory.
+
+    Model trees are plain nested dicts of arrays, so this restores raw and
+    merges into ``target``: leaves present in the checkpoint win; leaves
+    missing from it (e.g. params added to the code after the checkpoint was
+    written) keep the target's values, with a warning.
+    """
+    raw = _restore_item(os.path.join(os.path.abspath(path), MODEL_ITEM), None)
+    if target is None:
+        return raw
+
+    from ..utils.logging import logger
+
+    missing = []
+
+    def merge(tgt, src, prefix=""):
+        if not isinstance(tgt, dict):
+            return tgt if src is None else src
+        out = {}
+        for k, v in tgt.items():
+            sub = src.get(k) if isinstance(src, dict) else None
+            if sub is None and not isinstance(v, dict):
+                missing.append(prefix + str(k))
+                out[k] = v
+            else:
+                out[k] = merge(v, sub, prefix + str(k) + "/")
+        return out
+
+    merged = merge(target, raw)
+    if missing:
+        logger.warning(
+            f"checkpoint missing {len(missing)} leaves (kept init values): "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''}"
+        )
+    return merged
 
 
 def restore_train(path: str, target: Optional[Dict[str, Any]] = None):

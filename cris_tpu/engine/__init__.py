@@ -1,9 +1,11 @@
 from .evaluator import Evaluator
 from .metrics import (
     EVAL_THRESHOLD,
+    intersection_and_union,
     mask_iou,
     summarize_ious,
     train_metrics,
+    val_metric,
 )
 from .trainer import (
     TrainState,
@@ -20,6 +22,8 @@ __all__ = [
     "Evaluator",
     "EVAL_THRESHOLD",
     "mask_iou",
+    "val_metric",
+    "intersection_and_union",
     "summarize_ious",
     "train_metrics",
     "TrainState",

@@ -37,6 +37,36 @@ def train_metrics(
     return 100.0 * jnp.mean(ious), 100.0 * jnp.mean((ious > pr_iou).astype(jnp.float32))
 
 
+def val_metric(
+    pred_logits: jnp.ndarray, target: jnp.ndarray, threshold: float = EVAL_THRESHOLD
+) -> jnp.ndarray:
+    """Per-sample IoUs at prediction resolution (reference ValMetricGPU,
+    utils/misc.py:132-143 -- kept for API completeness)."""
+    b = pred_logits.shape[0]
+    probs = 1.0 / (1.0 + jnp.exp(-jnp.reshape(
+        jnp.asarray(pred_logits, jnp.float32), (b, -1)
+    )))
+    pred = probs >= threshold
+    tgt = jnp.reshape(target, (b, -1)) > 0.5
+    inter = jnp.sum(pred & tgt, axis=1).astype(jnp.float32)
+    union = jnp.sum(pred | tgt, axis=1).astype(jnp.float32)
+    return inter / (union + UNION_EPS)
+
+
+def intersection_and_union(
+    pred_logits: jnp.ndarray, target: jnp.ndarray, threshold: float = 0.5
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Foreground intersection/union areas (reference
+    intersectionAndUnionGPU, utils/misc.py:146-165 -- histogram semantics
+    reduced to the binary case it is used for)."""
+    probs = 1.0 / (1.0 + jnp.exp(-jnp.asarray(pred_logits, jnp.float32)))
+    pred = (probs >= threshold).reshape(-1)
+    tgt = (jnp.asarray(target, jnp.float32) > 0.5).reshape(-1)
+    inter = jnp.sum(pred & tgt).astype(jnp.float32)
+    union = jnp.sum(pred).astype(jnp.float32) + jnp.sum(tgt).astype(jnp.float32) - inter
+    return inter, union
+
+
 def mask_iou(pred_bool: np.ndarray, mask: np.ndarray) -> float:
     """Host-side IoU between a binarized prediction and a {0,1} GT mask
     (engine.py:121-123)."""
