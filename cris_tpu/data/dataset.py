@@ -15,7 +15,7 @@ same record schema.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np

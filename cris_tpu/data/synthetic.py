@@ -10,7 +10,7 @@ tools/folder2lmdb.py:50-52). Used by tests, dry runs, and benchmarks.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import cv2
 import numpy as np

@@ -13,7 +13,7 @@ reference's triangle correspondence).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

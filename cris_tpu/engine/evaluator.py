@@ -17,8 +17,7 @@ per-pair IoUs.
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import cv2
 import jax

@@ -10,7 +10,7 @@ reference's explicit dist.all_reduce (engine.py:61-66) disappears.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

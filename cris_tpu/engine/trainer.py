@@ -142,7 +142,7 @@ def train_epoch(
     meters, print_freq progress lines, optional experiment tracking."""
     import time
 
-    from ..utils.logging import AverageMeter, ProgressMeter, logger
+    from ..utils.logging import AverageMeter, ProgressMeter
     from ..utils.profiling import StepTimer
 
     # device trace of steps 10-15 of epoch 1 when cfg.profile_dir is set

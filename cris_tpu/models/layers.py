@@ -12,7 +12,7 @@ replacement for the reference's NCCL SyncBatchNorm conversion
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

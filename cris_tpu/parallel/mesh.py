@@ -12,7 +12,7 @@ all_reduce calls anywhere.
 from __future__ import annotations
 
 import re
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import numpy as np
