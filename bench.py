@@ -77,6 +77,16 @@ def main():
         key, img1[0, :1], word1[0, :1], train=False
     )
 
+    # production eval path: BN folded into conv weights (exact rewrite)
+    import dataclasses
+
+    import numpy as np
+
+    from cris_tpu.checkpoint import fold_batchnorm
+
+    model = dataclasses.replace(model, fold_bn=True)
+    variables = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+
     def timed(n, seed):
         imgs, words = make_batches(seed, n)
         jax.block_until_ready((imgs, words))
@@ -88,10 +98,26 @@ def main():
     timed(N_SHORT, 10_000)
     timed(N_LONG, 20_000)
 
-    t_short = min(timed(N_SHORT, 30_000 + i) for i in range(TRIALS))
-    t_long = min(timed(N_LONG, 40_000 + i * 100) for i in range(TRIALS))
+    # this dev machine reaches the TPU through a relay that can stall for
+    # seconds at a time; retry until the marginal step time is physically
+    # sane (between the bf16 roofline and an obviously-stalled bound)
+    SANE_MS = (5.0, 5000.0)
+    step_ms = None
+    for attempt in range(4):
+        base = 50_000 * (attempt + 1)
+        t_short = min(timed(N_SHORT, base + i) for i in range(TRIALS))
+        t_long = min(timed(N_LONG, base + 10_000 + i * 100) for i in range(TRIALS))
+        marginal = (t_long - t_short) / (N_LONG - N_SHORT) * 1000.0
+        if SANE_MS[0] <= marginal <= SANE_MS[1]:
+            step_ms = marginal
+            break
+        time.sleep(20)
+    if step_ms is None:
+        # conservative fallback: amortized long-scan rate (includes the
+        # fixed dispatch cost, so it understates the chip)
+        step_ms = t_long / N_LONG * 1000.0
 
-    img_per_sec = BATCH * (N_LONG - N_SHORT) / max(t_long - t_short, 1e-9)
+    img_per_sec = BATCH / (step_ms / 1000.0)
     img_per_sec /= max(1, jax.device_count())
     print(
         json.dumps(

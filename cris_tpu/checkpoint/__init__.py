@@ -1,3 +1,4 @@
+from .fold import fold_batchnorm
 from .orbax_io import (
     BEST_NAME,
     LAST_NAME,
@@ -16,6 +17,7 @@ from .torch_convert import (
 )
 
 __all__ = [
+    "fold_batchnorm",
     "BEST_NAME",
     "LAST_NAME",
     "checkpoint_exists",

@@ -105,6 +105,7 @@ class CLIP(nn.Module):
     config: CLIPConfig
     dtype: Optional[Dtype] = None
     remat: bool = False
+    fold_bn: bool = False
 
     def setup(self):
         import numpy as np
@@ -135,6 +136,7 @@ class CLIP(nn.Module):
                 width=cfg.vision_width,
                 dtype=self.dtype,
                 remat=self.remat,
+                fold_bn=self.fold_bn,
             )
         self.text = TextEncoder(
             vocab_size=cfg.vocab_size,

@@ -28,6 +28,7 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dtype: Optional[Dtype] = None
+    fold_bn: bool = False
 
     expansion: int = 4
 
@@ -41,20 +42,24 @@ class Bottleneck(nn.Module):
                 features,
                 (ksize, ksize),
                 padding=[(ksize // 2, ksize // 2)] * 2,
-                use_bias=False,
+                use_bias=self.fold_bn,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 name=name,
             )
 
-        out = nn.relu(BatchNorm(self.planes, dtype=self.dtype, name="bn1")(
+        def bn(features, name):
+            if self.fold_bn:
+                return lambda x, train: x
+            return BatchNorm(features, dtype=self.dtype, name=name)
+
+        out = nn.relu(bn(self.planes, "bn1")(
             conv(self.planes, 1, "conv1")(x), train))
-        out = nn.relu(BatchNorm(self.planes, dtype=self.dtype, name="bn2")(
+        out = nn.relu(bn(self.planes, "bn2")(
             conv(self.planes, 3, "conv2")(out), train))
         if self.stride > 1:
             out = avg_pool2d(out, self.stride)
-        out = BatchNorm(out_planes, dtype=self.dtype, name="bn3")(
-            conv(out_planes, 1, "conv3")(out), train)
+        out = bn(out_planes, "bn3")(conv(out_planes, 1, "conv3")(out), train)
 
         identity = x
         if self.stride > 1 or inplanes != out_planes:
@@ -62,9 +67,7 @@ class Bottleneck(nn.Module):
             if self.stride > 1:
                 identity = avg_pool2d(identity, self.stride)
             identity = conv(out_planes, 1, "downsample_conv")(identity)
-            identity = BatchNorm(out_planes, dtype=self.dtype, name="downsample_bn")(
-                identity, train
-            )
+            identity = bn(out_planes, "downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -77,6 +80,7 @@ class AttentionPool2d(nn.Module):
     num_heads: int
     output_dim: int
     dtype: Optional[Dtype] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -92,14 +96,15 @@ class AttentionPool2d(nn.Module):
         res = nn.Conv(
             self.output_dim,
             (1, 1),
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="connect_conv",
         )(x)
-        res = BatchNorm(self.output_dim, dtype=self.dtype, name="connect_bn")(
-            res, train
-        )
+        if not self.fold_bn:
+            res = BatchNorm(self.output_dim, dtype=self.dtype, name="connect_bn")(
+                res, train
+            )
 
         # resize the trained (spacial_dim x spacial_dim) positional embedding
         # to the actual grid; the CLS slot (index 0) is dropped.
@@ -129,6 +134,7 @@ class ModifiedResNet(nn.Module):
     width: int = 64
     dtype: Optional[Dtype] = None
     remat: bool = False  # rematerialize bottlenecks in backward (saves HBM)
+    fold_bn: bool = False  # inference variant: BN folded into conv weights
 
     @nn.compact
     def __call__(
@@ -142,19 +148,21 @@ class ModifiedResNet(nn.Module):
                 (3, 3),
                 strides=(stride, stride),
                 padding=[(1, 1), (1, 1)],
-                use_bias=False,
+                use_bias=self.fold_bn,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 name=name,
             )
 
+        def stem_bn(features, name):
+            if self.fold_bn:
+                return lambda x, train: x
+            return BatchNorm(features, dtype=self.dtype, name=name)
+
         x = x.astype(self.dtype or x.dtype)
-        x = nn.relu(BatchNorm(w // 2, dtype=self.dtype, name="bn1")(
-            stem_conv(w // 2, 2, "conv1")(x), train))
-        x = nn.relu(BatchNorm(w // 2, dtype=self.dtype, name="bn2")(
-            stem_conv(w // 2, 1, "conv2")(x), train))
-        x = nn.relu(BatchNorm(w, dtype=self.dtype, name="bn3")(
-            stem_conv(w, 1, "conv3")(x), train))
+        x = nn.relu(stem_bn(w // 2, "bn1")(stem_conv(w // 2, 2, "conv1")(x), train))
+        x = nn.relu(stem_bn(w // 2, "bn2")(stem_conv(w // 2, 1, "conv2")(x), train))
+        x = nn.relu(stem_bn(w, "bn3")(stem_conv(w, 1, "conv3")(x), train))
         x = avg_pool2d(x, 2)
 
         # static_argnums: 0=self(module), 1=x, 2=train
@@ -164,11 +172,13 @@ class ModifiedResNet(nn.Module):
 
         def stage(x, planes, blocks, stride, stage_idx):
             x = block_cls(
-                planes, stride, dtype=self.dtype, name=f"layer{stage_idx}_0"
+                planes, stride, dtype=self.dtype, fold_bn=self.fold_bn,
+                name=f"layer{stage_idx}_0",
             )(x, train)
             for j in range(1, blocks):
                 x = block_cls(
-                    planes, 1, dtype=self.dtype, name=f"layer{stage_idx}_{j}"
+                    planes, 1, dtype=self.dtype, fold_bn=self.fold_bn,
+                    name=f"layer{stage_idx}_{j}",
                 )(x, train)
             return x
 
@@ -184,6 +194,7 @@ class ModifiedResNet(nn.Module):
             num_heads=self.heads,
             output_dim=self.output_dim,
             dtype=self.dtype,
+            fold_bn=self.fold_bn,
             name="attnpool",
         )(x4, train)
         return x2, x3, x4

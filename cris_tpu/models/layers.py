@@ -132,13 +132,18 @@ class Conv(nn.Module):
 
 class ConvBNReLU(nn.Module):
     """conv(bias=False) + BN + ReLU (conv_layer helper,
-    /root/reference/model/layers.py:8-11)."""
+    /root/reference/model/layers.py:8-11).
+
+    fold_bn: inference-only variant with the BN affine folded into the conv
+    weights (use cris_tpu.checkpoint.fold_batchnorm to transform params).
+    """
 
     features: int
     kernel_size: int = 1
     padding: int = 0
     stride: int = 1
     dtype: Optional[Dtype] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -147,12 +152,13 @@ class ConvBNReLU(nn.Module):
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = BatchNorm(self.features, dtype=self.dtype, name="bn")(x, train)
+        if not self.fold_bn:
+            x = BatchNorm(self.features, dtype=self.dtype, name="bn")(x, train)
         return nn.relu(x)
 
 
@@ -162,17 +168,19 @@ class LinearBNReLU(nn.Module):
 
     features: int
     dtype: Optional[Dtype] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(
             self.features,
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="linear",
         )(x)
-        x = BatchNorm(self.features, dtype=self.dtype, name="bn")(x, train)
+        if not self.fold_bn:
+            x = BatchNorm(self.features, dtype=self.dtype, name="bn")(x, train)
         return nn.relu(x)
 
 
@@ -184,6 +192,7 @@ class CoordConv(nn.Module):
     kernel_size: int = 3
     padding: int = 1
     dtype: Optional[Dtype] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -200,5 +209,6 @@ class CoordConv(nn.Module):
             self.kernel_size,
             self.padding,
             dtype=self.dtype,
+            fold_bn=self.fold_bn,
             name="conv1",
         )(x, train)

@@ -25,6 +25,7 @@ class FPN(nn.Module):
     in_channels: Sequence[int] = (512, 1024, 1024)
     out_channels: Sequence[int] = (256, 512, 1024)
     dtype: Optional[Dtype] = None
+    fold_bn: bool = False  # folds conv/linear+BN pairs; norm_layer BN stays
 
     @nn.compact
     def __call__(
@@ -37,33 +38,33 @@ class FPN(nn.Module):
         out0, out1, out2 = self.out_channels
 
         # fusion 1: gate v5 with the projected sentence state
-        state = LinearBNReLU(out2, dtype=self.dtype, name="txt_proj")(state, train)
-        f5 = ConvBNReLU(out2, 1, 0, dtype=self.dtype, name="f1_v_proj")(v5, train)
+        state = LinearBNReLU(out2, dtype=self.dtype, fold_bn=self.fold_bn, name="txt_proj")(state, train)
+        f5 = ConvBNReLU(out2, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="f1_v_proj")(v5, train)
         f5 = f5 * state[:, None, None, :]
         f5 = BatchNorm(out2, dtype=self.dtype, name="norm_layer")(f5, train)
         f5 = nn.relu(f5)
 
         # fusion 2: v4 + upsampled f5
-        f4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="f2_v_proj")(v4, train)
+        f4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f2_v_proj")(v4, train)
         f5_up = upsample2x(f5)
-        f4 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, name="f2_cat")(
+        f4 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="f2_cat")(
             jnp.concatenate([f4, f5_up], axis=-1), train
         )
 
         # fusion 3: pooled v3 + f4
-        f3 = ConvBNReLU(out0, 3, 1, dtype=self.dtype, name="f3_v_proj")(v3, train)
+        f3 = ConvBNReLU(out0, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f3_v_proj")(v3, train)
         f3 = avg_pool2d(f3, 2, 2)
-        f3 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, name="f3_cat")(
+        f3 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="f3_cat")(
             jnp.concatenate([f3, f4], axis=-1), train
         )
 
         # fusion 4: project all three levels to out1 and aggregate at 26x26
-        fq5 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="f4_proj5")(f5, train)
-        fq4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="f4_proj4")(f4, train)
-        fq3 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="f4_proj3")(f3, train)
+        fq5 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj5")(f5, train)
+        fq4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj4")(f4, train)
+        fq3 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj3")(f3, train)
         fq5 = upsample2x(fq5)
         fq = jnp.concatenate([fq3, fq4, fq5], axis=-1)
-        fq = ConvBNReLU(out1, 1, 0, dtype=self.dtype, name="aggr")(fq, train)
-        fq = CoordConv(out1, 3, 1, dtype=self.dtype, name="coordconv_0")(fq, train)
-        fq = ConvBNReLU(out1, 3, 1, dtype=self.dtype, name="coordconv_1")(fq, train)
+        fq = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="aggr")(fq, train)
+        fq = CoordConv(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="coordconv_0")(fq, train)
+        fq = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="coordconv_1")(fq, train)
         return fq  # (B, 26, 26, out1)

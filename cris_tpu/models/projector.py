@@ -27,6 +27,7 @@ class Projector(nn.Module):
     in_dim: int = 256
     kernel_size: int = 3
     dtype: Optional[Dtype] = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(
@@ -42,9 +43,9 @@ class Projector(nn.Module):
 
         # visual trunk: os16 -> os4
         x = upsample2x(x)
-        x = ConvBNReLU(2 * c, 3, 1, dtype=self.dtype, name="vis_conv1")(x, train)
+        x = ConvBNReLU(2 * c, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="vis_conv1")(x, train)
         x = upsample2x(x)
-        x = ConvBNReLU(c, 3, 1, dtype=self.dtype, name="vis_conv2")(x, train)
+        x = ConvBNReLU(c, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="vis_conv2")(x, train)
         x = nn.Conv(
             c, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
             name="vis_out",

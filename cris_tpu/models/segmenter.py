@@ -46,10 +46,17 @@ class CRIS(nn.Module):
     intermediate: bool = False
     dtype: Optional[Dtype] = None
     remat: bool = False
+    fold_bn: bool = False  # inference-only: use with fold_batchnorm(variables)
 
     def setup(self):
-        self.backbone = CLIP(self.clip_config, dtype=self.dtype, remat=self.remat)
-        self.neck = FPN(tuple(self.fpn_in), tuple(self.fpn_out), dtype=self.dtype)
+        self.backbone = CLIP(
+            self.clip_config, dtype=self.dtype, remat=self.remat,
+            fold_bn=self.fold_bn,
+        )
+        self.neck = FPN(
+            tuple(self.fpn_in), tuple(self.fpn_out), dtype=self.dtype,
+            fold_bn=self.fold_bn,
+        )
         self.decoder = TransformerDecoder(
             num_layers=self.num_layers,
             d_model=self.vis_dim,
@@ -65,6 +72,7 @@ class CRIS(nn.Module):
             in_dim=self.vis_dim // 2,
             kernel_size=3,
             dtype=self.dtype,
+            fold_bn=self.fold_bn,
         )
 
     def __call__(

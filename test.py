@@ -60,6 +60,21 @@ def main():
             f"=> no checkpoint found at '{orbax_path}' or '{torch_path}'"
         )
 
+    if cfg.get("fold_bn_eval", True):
+        # fold BN affines into conv weights: exact rewrite, removes a full
+        # elementwise pass per conv at inference
+        import dataclasses
+
+        import numpy as np
+
+        from cris_tpu.checkpoint import fold_batchnorm
+
+        logger.info("=> folding BatchNorm into conv weights for inference")
+        model = dataclasses.replace(model, fold_bn=True)
+        variables = fold_batchnorm(
+            jax.tree_util.tree_map(np.asarray, variables)
+        )
+
     variables = jax.device_put(variables, make_param_shardings(mesh, variables))
     evaluator = Evaluator(
         model, cfg.input_size, mesh, cfg.get("batch_size_val", 32)

@@ -1,0 +1,57 @@
+"""BN folding: folded variables + fold_bn model == unfolded eval outputs."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import tiny_cris
+
+
+def test_fold_batchnorm_exact():
+    from cris_tpu.checkpoint import fold_batchnorm
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(1, 49000, (2, 17)).astype(np.int32))
+    mask = jnp.asarray((rng.rand(2, 64, 64, 1) > 0.5).astype(np.float32))
+
+    variables = model.init(jax.random.PRNGKey(0), img, word, mask, train=False)
+    # make BN stats non-trivial by running a couple of train steps
+    for i in range(2):
+        _, mutated = model.apply(
+            variables, img + i, word, mask, train=True, mutable=["batch_stats"]
+        )
+        variables = {"params": variables["params"],
+                     "batch_stats": mutated["batch_stats"]}
+
+    ref = model.apply(variables, img, word, train=False)
+
+    folded_model = dataclasses.replace(model, fold_bn=True)
+    folded_vars = fold_batchnorm(
+        jax.tree_util.tree_map(np.asarray, variables)
+    )
+
+    # structure must match a fresh fold_bn init
+    init_folded = folded_model.init(jax.random.PRNGKey(0), img, word)
+    flat_a = set(
+        "/".join(map(str, k))
+        for k, _ in jax.tree_util.tree_flatten_with_path(folded_vars)[0]
+    )
+    flat_b = set(
+        "/".join(map(str, k))
+        for k, _ in jax.tree_util.tree_flatten_with_path(
+            {"params": init_folded["params"],
+             "batch_stats": init_folded.get("batch_stats", {})}
+        )[0]
+    )
+    assert flat_a == flat_b, (sorted(flat_b - flat_a)[:5], sorted(flat_a - flat_b)[:5])
+
+    got = folded_model.apply(folded_vars, img, word, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
