@@ -1,17 +1,19 @@
 """Headline benchmark: CRIS-R50 eval throughput (images/sec/chip).
 
 Measures the device eval path exactly as test.py uses it -- bf16 forward at
-416x416 + sigmoid + bicubic align_corners=True upsample -- at batch 32,
-over device-resident data.
+416x416 (BN folded into conv weights) + sigmoid + bicubic
+align_corners=True upsample -- at batch 32, over device-resident data.
 
 Methodology: the eval loop runs as ONE jitted lax.scan over n pre-generated
-batches (how a production eval loop feeds a TPU), timed at two scan lengths;
-the throughput is the *marginal* rate B*(n2-n1)/(T2-T1). The subtraction
-cancels the fixed per-dispatch cost, which on this development machine is a
-~30 ms relay-tunnel round trip rather than anything a TPU host would pay.
+batches (how a production eval loop feeds a TPU), timed at two scan
+lengths; throughput is the *marginal* rate B*(n2-n1)/(T2-T1). The
+subtraction cancels the fixed per-dispatch cost, which on this development
+machine is a ~30 ms relay-tunnel round trip rather than anything a TPU
+host would pay.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+Robustness: the relay can stall for minutes; the benchmark works under a
+wall-clock deadline and ALWAYS prints one JSON line -- a deadline-degraded
+amortized number if the marginal measurement could not complete.
 
 vs_baseline is value / 100.0: the reference publishes no throughput
 (SURVEY.md §6), so 100 img/s is our recorded estimate of the reference's
@@ -27,13 +29,34 @@ BATCH = 32
 N_SHORT = 2
 N_LONG = 12
 TRIALS = 3
+DEADLINE_S = 480.0
 A100_REFERENCE_IMG_PER_SEC = 100.0
+START = time.monotonic()
+
+
+def emit(step_ms, note=""):
+    import jax
+
+    img_per_sec = BATCH / (step_ms / 1000.0) / max(1, jax.device_count())
+    result = {
+        "metric": "cris_r50_eval_throughput_416px_b32",
+        "value": round(img_per_sec, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_sec / A100_REFERENCE_IMG_PER_SEC, 3),
+    }
+    if note:
+        result["note"] = note
+    print(json.dumps(result))
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
+    from cris_tpu.checkpoint import fold_batchnorm
     from cris_tpu.models import CLIP_PRESETS, CRIS
     from cris_tpu.ops.resize import resize2d
 
@@ -48,6 +71,17 @@ def main():
         dropout=0.1,
         dtype=jnp.bfloat16,
     )
+
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 416, 416, 3), jnp.float32),
+        jnp.ones((1, 17), jnp.int32),
+        train=False,
+    )
+    # production eval path: BN folded into conv weights (exact rewrite)
+    model = dataclasses.replace(model, fold_bn=True)
+    variables = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+    variables = jax.device_put(variables)
 
     @partial(jax.jit, static_argnames=("n",))
     def make_batches(seed, n):
@@ -71,22 +105,6 @@ def main():
         acc, _ = jax.lax.scan(body, 0.0, (imgs, words))
         return acc
 
-    key = jax.random.PRNGKey(0)
-    img1, word1 = make_batches(0, 1)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        key, img1[0, :1], word1[0, :1], train=False
-    )
-
-    # production eval path: BN folded into conv weights (exact rewrite)
-    import dataclasses
-
-    import numpy as np
-
-    from cris_tpu.checkpoint import fold_batchnorm
-
-    model = dataclasses.replace(model, fold_bn=True)
-    variables = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
-
     def timed(n, seed):
         imgs, words = make_batches(seed, n)
         jax.block_until_ready((imgs, words))
@@ -94,41 +112,41 @@ def main():
         float(scan_eval(variables, imgs, words))
         return time.perf_counter() - t0
 
-    # compile both scan lengths
-    timed(N_SHORT, 10_000)
-    timed(N_LONG, 20_000)
+    def time_left():
+        return DEADLINE_S - (time.monotonic() - START)
 
-    # this dev machine reaches the TPU through a relay that can stall for
-    # seconds at a time; retry until the marginal step time is physically
-    # sane (between the bf16 roofline and an obviously-stalled bound)
+    # compile both scan lengths
+    t_short_best = timed(N_SHORT, 10_000)
+    t_long_best = timed(N_LONG, 20_000)
+
+    # the relay can stall for seconds; retry until the marginal step time is
+    # physically sane (between the bf16 roofline and a stalled bound)
     SANE_MS = (5.0, 5000.0)
     step_ms = None
     for attempt in range(4):
+        if time_left() < 60:
+            break
         base = 50_000 * (attempt + 1)
         t_short = min(timed(N_SHORT, base + i) for i in range(TRIALS))
         t_long = min(timed(N_LONG, base + 10_000 + i * 100) for i in range(TRIALS))
+        t_short_best = min(t_short_best, t_short)
+        t_long_best = min(t_long_best, t_long)
         marginal = (t_long - t_short) / (N_LONG - N_SHORT) * 1000.0
         if SANE_MS[0] <= marginal <= SANE_MS[1]:
             step_ms = marginal
             break
-        time.sleep(20)
-    if step_ms is None:
-        # conservative fallback: amortized long-scan rate (includes the
-        # fixed dispatch cost, so it understates the chip)
-        step_ms = t_long / N_LONG * 1000.0
+        if time_left() > 90:
+            time.sleep(20)
 
-    img_per_sec = BATCH / (step_ms / 1000.0)
-    img_per_sec /= max(1, jax.device_count())
-    print(
-        json.dumps(
-            {
-                "metric": "cris_r50_eval_throughput_416px_b32",
-                "value": round(img_per_sec, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_per_sec / A100_REFERENCE_IMG_PER_SEC, 3),
-            }
+    if step_ms is not None:
+        emit(step_ms)
+    else:
+        # conservative fallback: amortized long-scan rate (includes fixed
+        # dispatch cost, so it understates the chip)
+        emit(
+            t_long_best / N_LONG * 1000.0,
+            note="deadline-degraded: amortized rate incl. dispatch overhead",
         )
-    )
 
 
 if __name__ == "__main__":
