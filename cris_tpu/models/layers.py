@@ -97,6 +97,8 @@ class LayerNormF32(nn.Module):
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        # XLA fuses this whole chain into one memory pass (the fp32
+        # intermediates live in registers), so no bf16 shortcut is needed
         y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps)) * scale + bias
         return y.astype(x.dtype)
 
