@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -69,7 +70,6 @@ class Bottleneck(nn.Module):
             identity = conv(out_planes, 1, "downsample_conv")(identity)
             identity = bn(out_planes, "downsample_bn")(identity, train)
         return nn.relu(out + identity)
-
 
 class AttentionPool2d(nn.Module):
     """Global self-attention over the 13x13 layer4 grid with a learned

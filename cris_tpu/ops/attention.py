@@ -62,13 +62,14 @@ def dot_product_attention(
     # XLA.
     use_dropout = dropout_rate > 0.0 and not deterministic
     if attn_mask is None and not use_dropout and head_dim <= 128:
-        from .pallas import fused_attention, pallas_enabled
+        from .pallas import fused_attention, pallas_enabled, pallas_interpret
 
         if pallas_enabled() and k.shape[1] <= 2048:
             kv_valid = None
             if key_padding_mask is not None:
                 kv_valid = ~key_padding_mask
-            out = fused_attention(qh, kh, vh, kv_valid)
+            # positional args: custom_vjp functions reject keywords
+            out = fused_attention(qh, kh, vh, kv_valid, None, pallas_interpret())
             return merge_heads(out)
 
     logits = jnp.einsum(

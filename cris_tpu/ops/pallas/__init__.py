@@ -10,15 +10,29 @@ import os
 from functools import lru_cache
 
 from .attention import fused_attention
+from .fused_matmul import conv1x1_fused, fused_matmul
 
-__all__ = ["fused_attention", "pallas_enabled"]
+__all__ = ["fused_attention", "conv1x1_fused", "fused_matmul",
+           "pallas_enabled", "pallas_interpret", "pallas_mode"]
 
 
 @lru_cache(maxsize=1)
-def pallas_enabled() -> bool:
-    if os.environ.get("CRIS_PALLAS", "1") in ("0", "false", "False"):
-        return False
+def pallas_mode() -> str:
+    """'on' (TPU kernels), 'off', or 'interpret' (CPU-emulated, for tests).
+    Controlled by CRIS_PALLAS=1/0/interpret."""
+    env = os.environ.get("CRIS_PALLAS", "1")
+    if env in ("0", "false", "False"):
+        return "off"
+    if env == "interpret":
+        return "interpret"
     import jax
 
-    platform = jax.default_backend()
-    return platform not in ("cpu", "gpu")
+    return "off" if jax.default_backend() in ("cpu", "gpu") else "on"
+
+
+def pallas_enabled() -> bool:
+    return pallas_mode() != "off"
+
+
+def pallas_interpret() -> bool:
+    return pallas_mode() == "interpret"

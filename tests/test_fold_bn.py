@@ -55,3 +55,19 @@ def test_fold_batchnorm_exact():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_matmul_kernel_matches_xla():
+    """Direct interpret-mode check of the fused matmul building block
+    (bias + residual + relu applied in-kernel)."""
+    from cris_tpu.ops.pallas import fused_matmul
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(300, 70).astype(np.float32))
+    w = jnp.asarray(rng.randn(70, 130).astype(np.float32))
+    b = jnp.asarray(rng.randn(130).astype(np.float32))
+    r = jnp.asarray(rng.randn(300, 130).astype(np.float32))
+    got = fused_matmul(x, w, b, r, relu=True, interpret=True)
+    ref = jnp.maximum(x @ w + b + r, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
