@@ -37,7 +37,9 @@ _NAMED_PAIRS = (
     ("linear", "bn"),     # LinearBNReLU
 )
 
-KEEP_BN = {"norm_layer"}  # BN after a multiply: nothing to fold into
+# The FPN's 'norm_layer' BN (which normalizes a feature *product*, nothing
+# to fold into) survives folding simply because its name matches no
+# _NAMED_PAIRS entry -- pairing is strictly by (weight, bn) sibling names.
 
 
 def _fold_pair(weight_leaf: Dict[str, Any], bn_params, bn_stats):
@@ -70,7 +72,6 @@ def fold_batchnorm(variables: Dict[str, Any]) -> Dict[str, Any]:
             if (
                 wname in p
                 and bname in p
-                and bname not in KEEP_BN
                 and isinstance(p[wname], dict)
                 and "kernel" in p[wname]
                 and isinstance(p.get(bname), dict)

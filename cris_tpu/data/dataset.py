@@ -110,7 +110,7 @@ class RefDataset:
         mask_path = os.path.join(self.mask_root or "", f"{seg_id}.png")
 
         if self.mode == "train":
-            mask = np.frombuffer(rec["warped_mask"], np.float16).reshape(
+            mask = np.frombuffer(rec["warped_mask"], np.float32).reshape(
                 size, size, 1
             )
             rng = rng or np.random
@@ -118,7 +118,7 @@ class RefDataset:
             return {
                 "image": normalize_image(img),
                 "word": tokenize(sent, self.word_length, True)[0],
-                "mask": mask.astype(np.float32),
+                "mask": mask.copy(),
             }
         base = {
             "image": normalize_image(img),

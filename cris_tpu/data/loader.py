@@ -122,6 +122,18 @@ class RefDataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_abort(item) -> bool:
+            """Bounded put that keeps observing the stop event, so an
+            abandoned iterator cannot park the producer on a full queue
+            forever (leaking the thread pool)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             # sliding window keeps at most num_workers + prefetch batches in
             # flight so memory stays bounded over long epochs
@@ -134,20 +146,19 @@ class RefDataLoader:
                     for b in batches[:window]:
                         pending.append(pool.submit(self._load_batch, b))
                     next_idx = min(window, len(batches))
-                    while pending:
-                        if stop.is_set():
-                            break
+                    while pending and not stop.is_set():
                         fut = pending.popleft()
-                        out_q.put(fut.result())
+                        if not put_or_abort(fut.result()):
+                            return
                         if next_idx < len(batches):
                             pending.append(
                                 pool.submit(self._load_batch, batches[next_idx])
                             )
                             next_idx += 1
                 except Exception as e:  # surface loader errors
-                    out_q.put(e)
+                    put_or_abort(e)
                     return
-            out_q.put(None)
+            put_or_abort(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -30,7 +30,9 @@ def train_metrics(
     )
     probs = 1.0 / (1.0 + jnp.exp(-probs))
     pred = probs >= threshold
-    tgt = jnp.reshape(target, (b, -1)) > 0.5
+    # reference uses target.bool(): ANY nonzero value is foreground (matters
+    # for linearly-warped masks with fractional boundary pixels)
+    tgt = jnp.reshape(target, (b, -1)) > 0
     inter = jnp.sum(pred & tgt, axis=1).astype(jnp.float32)
     union = jnp.sum(pred | tgt, axis=1).astype(jnp.float32)
     ious = inter / (union + UNION_EPS)
@@ -47,7 +49,7 @@ def val_metric(
         jnp.asarray(pred_logits, jnp.float32), (b, -1)
     )))
     pred = probs >= threshold
-    tgt = jnp.reshape(target, (b, -1)) > 0.5
+    tgt = jnp.reshape(target, (b, -1)) > 0  # target.bool() semantics
     inter = jnp.sum(pred & tgt, axis=1).astype(jnp.float32)
     union = jnp.sum(pred | tgt, axis=1).astype(jnp.float32)
     return inter / (union + UNION_EPS)
@@ -61,7 +63,7 @@ def intersection_and_union(
     reduced to the binary case it is used for)."""
     probs = 1.0 / (1.0 + jnp.exp(-jnp.asarray(pred_logits, jnp.float32)))
     pred = (probs >= threshold).reshape(-1)
-    tgt = (jnp.asarray(target, jnp.float32) > 0.5).reshape(-1)
+    tgt = (jnp.asarray(target, jnp.float32) > 0).reshape(-1)
     inter = jnp.sum(pred & tgt).astype(jnp.float32)
     union = jnp.sum(pred).astype(jnp.float32) + jnp.sum(tgt).astype(jnp.float32) - inter
     return inter, union

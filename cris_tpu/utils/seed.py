@@ -15,11 +15,20 @@ import numpy as np
 
 
 def init_random_seed(seed: Optional[int] = None) -> int:
-    """Return the configured seed, or draw one (shared implicitly because all
-    processes run the same program under single-controller JAX)."""
+    """Return the configured seed, or draw one and broadcast it from process
+    0 so every host shares it (the reference's dist.broadcast at
+    utils/misc.py:26-31; a host-varying seed would shuffle different
+    permutations per host and diverge the jitted computation)."""
     if seed is not None:
         return int(seed)
-    return int(np.random.randint(2**31))
+    seed = int(np.random.randint(2**31))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        seed = int(
+            multihost_utils.broadcast_one_to_all(np.asarray(seed, np.int32))
+        )
+    return seed
 
 
 def root_key(seed: int) -> jax.Array:

@@ -170,7 +170,7 @@ def test_prewarp_pack_matches_live_pipeline(tmp_path):
             np.testing.assert_array_equal(a["image"], b["image"])
             if mode == "train":
                 np.testing.assert_array_equal(a["word"], b["word"])
-                np.testing.assert_allclose(a["mask"], b["mask"], atol=5e-4)
+                np.testing.assert_array_equal(a["mask"], b["mask"])
             else:
                 np.testing.assert_allclose(a["inverse"], b["inverse"], atol=1e-12)
                 np.testing.assert_array_equal(a["ori_size"], b["ori_size"])

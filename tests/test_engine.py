@@ -66,7 +66,10 @@ def test_train_metrics_match_reference_math():
 
     rng = np.random.RandomState(1)
     logits = rng.randn(4, 16, 16, 1).astype(np.float32)
-    target = (rng.rand(4, 16, 16, 1) > 0.5).astype(np.float32)
+    # fractional boundary values (linear-warped masks): the reference's
+    # target.bool() counts ANY nonzero as foreground
+    target = rng.rand(4, 16, 16, 1).astype(np.float32)
+    target[target < 0.6] = 0.0
 
     # reference trainMetricGPU (utils/misc.py:114-129)
     out = torch.sigmoid(torch.from_numpy(logits).reshape(4, -1))

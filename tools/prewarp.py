@@ -7,7 +7,8 @@ This tool reads any backend URI (.lmdb / .refpack / synthetic://) and
 writes a .refpack whose records carry:
 
   warped      : uint8 input_size x input_size x 3 RGB (pre-normalization)
-  warped_mask : float16 warped GT mask in [0,1] (same INTER_LINEAR warp)
+  warped_mask : float32 warped GT mask in [0,1] (same INTER_LINEAR warp,
+                stored exactly -- bit-identical to the live pipeline)
   inverse     : float64 2x3 inverse affine  |  ori_size : int32 {h, w}
   seg_id / sents / num_sents / cat / img_name  (unchanged)
   img         : original JPEG bytes (only with --keep-ori, for test-mode
@@ -57,7 +58,7 @@ def prewarp(src_uri: str, out_path: str, input_size: int, keep_ori: bool):
             mask = warp_mask(decode_mask(rec["mask"]), mat, hw)
             out = {
                 "warped": np.ascontiguousarray(warped).tobytes(),
-                "warped_mask": mask.astype(np.float16)[..., None].tobytes(),
+                "warped_mask": mask.astype(np.float32)[..., None].tobytes(),
                 "inverse": inv.astype(np.float64).tobytes(),
                 "ori_size": np.array(img.shape[:2], np.int32).tobytes(),
                 "seg_id": rec["seg_id"],

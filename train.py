@@ -179,6 +179,11 @@ def main():
         )
 
         if jax.process_index() == 0:
+            # update best BEFORE saving so a resume restores the true best
+            # (the reference saves the stale value, train.py:192-207 there,
+            # which lets a worse post-resume epoch overwrite best_model)
+            is_best = iou >= best_iou
+            best_iou = max(best_iou, iou)
             save_checkpoint(
                 cfg.output_dir,
                 LAST_NAME,
@@ -197,8 +202,7 @@ def main():
                     "prec": {k: np.asarray(v) for k, v in prec.items()},
                 },
             )
-            if iou >= best_iou:
-                best_iou = iou
+            if is_best:
                 promote_best(cfg.output_dir)
 
     tracker.finish()
