@@ -28,7 +28,7 @@ from ..data.transforms import inverse_warp_prediction
 from ..ops.resize import resize2d
 from ..utils.logging import logger
 from ..utils.tokenizer import tokenize
-from .metrics import EVAL_THRESHOLD, mask_iou, summarize_ious
+from .metrics import EVAL_THRESHOLD, mask_inter_union, mask_iou, summarize_ious
 
 
 class Evaluator:
@@ -68,24 +68,31 @@ class Evaluator:
     # ------------------------------------------------------------------ val
 
     def validate(self, loader, variables, epoch: int = 0, epochs: int = 0):
-        """Per-epoch distributed validation (engine.py:90-143)."""
+        """Per-epoch distributed validation (engine.py:90-143); additionally
+        reports overall IoU (cumulative intersection / cumulative union)."""
         iou_list: List[float] = []
+        inter_sum = 0
+        union_sum = 0
         for batch in loader:
             probs = self.predict_probs(variables, batch["image"], batch["word"])
             valid = batch.get("valid")
             for i in range(probs.shape[0]):
                 if valid is not None and not valid[i]:
                     continue
-                iou_list.append(
-                    self._finish_sample(
-                        probs[i],
-                        np.asarray(batch["inverse"][i]),
-                        np.asarray(batch["ori_size"][i]),
-                        batch["mask_path"][i],
-                    )
+                iou, inter, union = self._finish_sample(
+                    probs[i],
+                    np.asarray(batch["inverse"][i]),
+                    np.asarray(batch["ori_size"][i]),
+                    batch["mask_path"][i],
                 )
-        iou_list = self._allgather_ious(iou_list)
+                iou_list.append(iou)
+                inter_sum += inter
+                union_sum += union
+        iou_list, inter_sum, union_sum = self._allgather(
+            iou_list, inter_sum, union_sum
+        )
         iou, prec = summarize_ious(iou_list)
+        prec["oIoU"] = inter_sum / (union_sum + 1e-6)
         header = f"Evaluation: Epoch=[{epoch}/{epochs}]  IoU={100.0 * iou:.2f}"
         parts = "  ".join(
             f"{k}: {100.0 * v:.2f}" for k, v in prec.items()
@@ -94,27 +101,35 @@ class Evaluator:
         return iou, prec
 
     @staticmethod
-    def _allgather_ious(iou_list: List[float]) -> List[float]:
-        """Concatenate per-sample IoUs across hosts (the reference's
-        concat_all_gather, utils/misc.py:45-58). The per-process loader
-        shards are padded to equal length, so every host contributes the
-        same count and the gather is a fixed-shape all_gather over DCN."""
+    def _allgather(iou_list: List[float], inter_sum: int, union_sum: int):
+        """Concatenate per-sample IoUs (and sum inter/union counts) across
+        hosts (the reference's concat_all_gather, utils/misc.py:45-58). The
+        per-process loader shards are padded to equal length, so every host
+        contributes the same count and the gather is fixed-shape over DCN."""
         if jax.process_count() == 1:
-            return iou_list
+            return iou_list, inter_sum, union_sum
         from jax.experimental import multihost_utils
 
         gathered = multihost_utils.process_allgather(
             np.asarray(iou_list, np.float64)
         )
-        return list(np.asarray(gathered).reshape(-1))
+        sums = multihost_utils.process_allgather(
+            np.asarray([inter_sum, union_sum], np.float64)
+        ).reshape(-1, 2).sum(axis=0)
+        return (
+            list(np.asarray(gathered).reshape(-1)),
+            float(sums[0]),
+            float(sums[1]),
+        )
 
-    def _finish_sample(self, probs, inv_mat, ori_size, mask_path) -> float:
+    def _finish_sample(self, probs, inv_mat, ori_size, mask_path):
         h, w = int(ori_size[0]), int(ori_size[1])
         warped = inverse_warp_prediction(probs, inv_mat, (h, w))
         pred = warped > EVAL_THRESHOLD
         mask = cv2.imread(mask_path, flags=cv2.IMREAD_GRAYSCALE)
         mask = mask / 255.0
-        return mask_iou(pred, mask)
+        inter, union = mask_inter_union(pred, mask)
+        return mask_iou(pred, mask), inter, union
 
     # ----------------------------------------------------------------- test
 
@@ -132,6 +147,7 @@ class Evaluator:
         pend_word: List[np.ndarray] = []
         pend_meta: List[Dict[str, Any]] = []
         iou_list: List[float] = []
+        sums = [0, 0]  # cumulative intersection / union (oIoU)
 
         def flush():
             if not pend_img:
@@ -149,7 +165,10 @@ class Evaluator:
                 )
                 pred = warped > EVAL_THRESHOLD
                 iou = mask_iou(pred, meta["mask"])
+                inter, union = mask_inter_union(pred, meta["mask"])
                 iou_list.append(iou)
+                sums[0] += inter
+                sums[1] += union
                 if visualize and vis_dir:
                     sent_tag = "_".join(meta["sent"].split(" "))
                     name = f"{meta['seg_id']}-iou={iou * 100:.2f}-{sent_tag}.png"
@@ -201,6 +220,7 @@ class Evaluator:
 
         logger.info("=> Metric Calculation <=")
         iou, prec = summarize_ious(iou_list)
+        prec["oIoU"] = sums[0] / (sums[1] + 1e-6)
         logger.info(f"IoU={100.0 * iou:.2f}")
         for k, v in prec.items():
             logger.info(f"{k}: {100.0 * v:.2f}.")

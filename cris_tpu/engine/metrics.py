@@ -77,6 +77,15 @@ def mask_iou(pred_bool: np.ndarray, mask: np.ndarray) -> float:
     return float(np.sum(inter) / (np.sum(union) + UNION_EPS))
 
 
+def mask_inter_union(pred_bool: np.ndarray, mask: np.ndarray):
+    """(intersection, union) pixel counts -- accumulated across the dataset
+    they yield overall IoU (oIoU), the second headline metric of the
+    referring-segmentation literature."""
+    inter = int(np.logical_and(pred_bool, mask).sum())
+    union = int(np.logical_or(pred_bool, mask).sum())
+    return inter, union
+
+
 def summarize_ious(iou_list: Sequence[float]) -> Tuple[float, Dict[str, float]]:
     """(mean IoU, {Pr@50..Pr@90}) over per-sample IoUs (engine.py:127-139)."""
     ious = np.asarray(iou_list, np.float64)

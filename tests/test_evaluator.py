@@ -28,7 +28,7 @@ def test_validate_on_synthetic(model_and_vars):
     ev = Evaluator(model, input_size=64, batch_size=4)
     iou, prec = ev.validate(loader, variables, epoch=1, epochs=1)
     assert 0.0 <= iou <= 1.0
-    assert set(prec) == {"Pr@50", "Pr@60", "Pr@70", "Pr@80", "Pr@90"}
+    assert set(prec) == {"Pr@50", "Pr@60", "Pr@70", "Pr@80", "Pr@90", "oIoU"}
     assert all(0.0 <= v <= 1.0 for v in prec.values())
 
 

@@ -130,7 +130,10 @@ def main():
                 "epoch": np.asarray(0),
                 "best_iou": np.asarray(0.0),
                 "cur_iou": np.asarray(0.0),
-                "prec": {f"Pr@{t}": np.asarray(0.0) for t in (50, 60, 70, 80, 90)},
+                "prec": {
+                    **{f"Pr@{t}": np.asarray(0.0) for t in (50, 60, 70, 80, 90)},
+                    "oIoU": np.asarray(0.0),
+                },
             },
         )
         # re-place restored leaves with the live state's mesh shardings
