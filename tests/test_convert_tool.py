@@ -91,3 +91,69 @@ def test_convert_cris_pth_to_orbax(tmp_path):
     conv1 = np.asarray(variables["params"]["backbone"]["visual"]["conv1"]["kernel"])
     ref_conv1 = ref_clip.visual.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
     np.testing.assert_array_equal(conv1, ref_conv1)
+
+
+def test_load_clip_torchscript_archive(tmp_path):
+    """End-to-end TorchScript path: trace a reference CLIP, save a .pt
+    archive (the released RN50.pt format), load + convert + forward."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from model.clip import CLIP as RefCLIP
+
+    from cris_tpu.checkpoint import load_clip_torchscript
+    from cris_tpu.models import CLIP
+
+    torch.manual_seed(11)
+    ref = RefCLIP(
+        embed_dim=64, image_resolution=64, vision_layers=(1, 1, 1, 1),
+        vision_width=16, vision_patch_size=None, context_length=20,
+        txt_length=10, vocab_size=100, transformer_width=64,
+        transformer_heads=4, transformer_layers=2,
+    ).float().eval()
+
+    class Traceable(torch.nn.Module):
+        """Same attribute layout as CLIP (so the TorchScript state_dict has
+        the released-archive key names) with a traceable forward."""
+
+        def __init__(self, clip):
+            super().__init__()
+            self.visual = clip.visual
+            self.transformer = clip.transformer
+            self.token_embedding = clip.token_embedding
+            self.positional_embedding = clip.positional_embedding
+            self.ln_final = clip.ln_final
+            self.text_projection = clip.text_projection
+            self.logit_scale = clip.logit_scale
+
+        def forward(self, image):
+            return self.visual(image)[2]
+
+    img = torch.randn(1, 3, 64, 64)
+    traced = torch.jit.trace(
+        Traceable(ref), (img,), check_trace=False, strict=False
+    )
+    path = str(tmp_path / "RN_tiny.pt")
+    torch.jit.save(traced, path)
+
+    variables, cfg = load_clip_torchscript(path)
+    assert cfg.vision_layers == (1, 1, 1, 1)
+    cfg = dataclasses.replace(cfg, transformer_heads=4)
+
+    model = CLIP(cfg, dtype=None)
+    rng = np.random.RandomState(3)
+    jimg = rng.randn(2, 64, 64, 3).astype(np.float32)
+    jids = rng.randint(1, 99, (2, 10)).astype(np.int32)
+    with torch.no_grad():
+        r2, r3, r4 = ref.encode_image(
+            torch.from_numpy(jimg).permute(0, 3, 1, 2)
+        )
+    (x2, x3, x4), _ = model.apply(
+        variables, jnp.asarray(jimg), jnp.asarray(jids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(x4), r4.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-4
+    )

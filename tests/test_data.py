@@ -177,3 +177,23 @@ def test_prewarp_pack_matches_live_pipeline(tmp_path):
             if mode == "test":
                 assert a["sents"] == b["sents"]
                 np.testing.assert_array_equal(a["ori_img"], b["ori_img"])
+
+
+def test_loader_abandoned_iteration_does_not_leak():
+    """Breaking out of a loader mid-epoch must stop the producer thread."""
+    import threading
+    import time
+
+    ds = RefDataset("synthetic://24?seed=50", None, "synthetic", "train",
+                    "train", 64, 17)
+    loader = RefDataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                           prefetch=1)
+    before = threading.active_count()
+    for i, batch in enumerate(loader):
+        if i == 1:
+            break  # abandon mid-epoch
+    # producer observes the stop event and winds down
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.2)
+    assert threading.active_count() <= before + 1, threading.active_count()
