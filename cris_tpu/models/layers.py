@@ -108,30 +108,6 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * nn.sigmoid(1.702 * x)
 
 
-class Conv(nn.Module):
-    """2-D convolution, NHWC, torch-compatible padding semantics."""
-
-    features: int
-    kernel_size: int = 1
-    stride: int = 1
-    padding: int = 0
-    use_bias: bool = True
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
-
-
 class ConvBNReLU(nn.Module):
     """conv(bias=False) + BN + ReLU (conv_layer helper,
     /root/reference/model/layers.py:8-11).
