@@ -8,7 +8,10 @@ masks. pycocotools is replaced by:
 - polygon segmentations -> cv2.fillPoly rasterization;
 - uncompressed COCO RLE ({'counts': [...], 'size': [h, w]}) -> a pure
   NumPy column-major run-length decoder (the same semantics pycocotools
-  implements in C).
+  implements in C);
+- compressed COCO RLE ({'counts': b'...' string}) -> a pure-Python port
+  of the pycocotools rleFrString varint decoding (base-48, 5 bits per
+  char, sign-extended, runs delta-coded against counts[i-2]).
 """
 
 from __future__ import annotations
@@ -34,6 +37,37 @@ def decode_uncompressed_rle(counts: List[int], h: int, w: int) -> np.ndarray:
         pos += run
         val = 1 - val
     return flat.reshape((w, h)).T  # column-major
+
+
+def decode_compressed_counts(data) -> List[int]:
+    """COCO compressed RLE counts string -> run lengths.
+
+    The format (pycocotools rleFrString): each run length is a varint of
+    base-48 chars carrying 5 payload bits (bit 0x20 = continuation); the
+    final chunk sign-extends when bit 0x10 is set; every run after the
+    second is delta-coded against the run two positions back.
+    """
+    if isinstance(data, str):
+        data = data.encode("ascii")
+    counts: List[int] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        x = 0
+        k = 0
+        while True:
+            c = data[pos] - 48
+            x |= (c & 0x1F) << (5 * k)
+            pos += 1
+            k += 1
+            if not c & 0x20:
+                if c & 0x10:
+                    x |= -1 << (5 * k)
+                break
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
 
 
 def rasterize_polygons(polygons: List[List[float]], h: int, w: int) -> np.ndarray:
@@ -173,10 +207,7 @@ class REFER:
             mask = rasterize_polygons(seg, h, w)
         else:  # RLE dict
             counts = seg["counts"]
-            if isinstance(counts, (list, tuple)):
-                mask = decode_uncompressed_rle(counts, *seg["size"])
-            else:
-                raise NotImplementedError(
-                    "compressed RLE needs pycocotools; install it for these anns"
-                )
+            if not isinstance(counts, (list, tuple)):  # compressed string
+                counts = decode_compressed_counts(counts)
+            mask = decode_uncompressed_rle(counts, *seg["size"])
         return {"mask": mask.astype(np.uint8), "area": int(mask.sum())}

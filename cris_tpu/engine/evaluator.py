@@ -189,15 +189,27 @@ class Evaluator:
             except ImportError:  # pragma: no cover
                 pass
 
+        warned_no_ori = False
         for idx in iterator:
             sample = dataset[idx]
             mask = cv2.imread(sample["mask_path"], flags=cv2.IMREAD_GRAYSCALE)
             mask = mask / 255.0
             if visualize and vis_dir:
                 seg_id = sample["seg_id"]
-                cv2.imwrite(
-                    os.path.join(vis_dir, f"{seg_id}-img.jpg"), sample["ori_img"]
-                )
+                # prewarped records carry the original image only when
+                # packed with --keep-ori (dataset._getitem_prewarped); skip
+                # the -img.jpg dump rather than crash without it
+                if "ori_img" in sample:
+                    cv2.imwrite(
+                        os.path.join(vis_dir, f"{seg_id}-img.jpg"),
+                        sample["ori_img"],
+                    )
+                elif not warned_no_ori:
+                    warned_no_ori = True
+                    logger.warning(
+                        "visualize: records lack original images (prewarped "
+                        "without --keep-ori); skipping -img.jpg dumps"
+                    )
                 cv2.imwrite(
                     os.path.join(vis_dir, f"{seg_id}-mask.png"),
                     (mask * 255).astype(np.uint8),

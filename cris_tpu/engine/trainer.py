@@ -163,6 +163,24 @@ def train_epoch(
         cfg.base_lr, cfg.get("milestones", []), cfg.get("lr_decay", 0.1), epoch
     )
 
+    # Per-step metrics stay ON DEVICE between progress lines: a float()
+    # fetch every step would block the host on the device each iteration
+    # (capping dispatch pipelining); instead the device arrays queue up and
+    # one device_get drains them every print_freq steps / at epoch end.
+    pending = []  # [(batch_size, device metrics dict), ...]
+
+    def drain():
+        if not pending:
+            return
+        for n, vals in zip(
+            [n for n, _ in pending],
+            jax.device_get([m for _, m in pending]),
+        ):
+            loss_meter.update(float(vals["loss"]), n)
+            iou_meter.update(float(vals["iou"]), n)
+            pr_meter.update(float(vals["prec@50"]), n)
+        pending.clear()
+
     end = time.time()
     for i, batch in enumerate(loader):
         timer.step(i)
@@ -174,15 +192,13 @@ def train_epoch(
         }
         state, metrics = jit_step(state, device_batch, rng)
 
-        n = batch["image"].shape[0]
-        loss_meter.update(float(metrics["loss"]), n)
-        iou_meter.update(float(metrics["iou"]), n)
-        pr_meter.update(float(metrics["prec@50"]), n)
+        pending.append((batch["image"].shape[0], metrics))
         lr_meter.update(cur_lr)
         batch_time.update(time.time() - end)
         end = time.time()
 
         if (i + 1) % cfg.get("print_freq", 100) == 0:
+            drain()
             progress.display(i + 1)
             if tracker is not None:
                 tracker.log(
@@ -196,5 +212,6 @@ def train_epoch(
                     },
                     step=epoch * len(loader) + (i + 1),
                 )
+    drain()
     timer.close()
     return state

@@ -93,8 +93,13 @@ def add_reference_to_path():
         try:
             import ftfy  # noqa: F401
         except ImportError:
+            import unicodedata
+
             stub = types.ModuleType("ftfy")
-            stub.fix_text = lambda s: s  # RefCOCO text is ASCII-clean
+            # real ftfy NFC-normalizes by default (its other fixes only
+            # trigger on mojibake); NFC is the faithful stand-in and is a
+            # no-op on the ASCII RefCOCO corpora
+            stub.fix_text = lambda s: unicodedata.normalize("NFC", s)
             sys.modules["ftfy"] = stub
     for name in ("lmdb", "loguru", "wandb"):
         if name in sys.modules:

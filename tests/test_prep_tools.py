@@ -164,3 +164,88 @@ def test_full_prep_pipeline(tmp_path):
     assert sample["image"].shape == (416, 416, 3)
     assert sample["mask"].shape == (416, 416, 1)
     assert sample["word"].shape == (17,)
+
+
+def test_compressed_rle_decode():
+    """decode_compressed_counts must invert the pycocotools rleToString
+    encoding (refer.py handles compressed 'counts' strings without the
+    pycocotools C extension the reference needs, tools/refer.py:295-314)."""
+    from cris_tpu.data.refer import (
+        decode_compressed_counts,
+        decode_uncompressed_rle,
+    )
+
+    def encode(cnts):
+        # independent port of pycocotools rleToString (maskApi.c):
+        # delta-code runs vs cnts[i-2], emit 5-bit base-48 varint chunks
+        out = bytearray()
+        for i, x in enumerate(cnts):
+            if i > 2:
+                x -= cnts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = (x != -1) if (c & 0x10) else (x != 0)
+                if more:
+                    c |= 0x20
+                out.append(c + 48)
+        return bytes(out)
+
+    # hand case: a single run of 4 encodes to '4'
+    assert decode_compressed_counts(b"4") == [4]
+    assert decode_compressed_counts("4") == [4]
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        h, w = int(rng.randint(3, 40)), int(rng.randint(3, 40))
+        mask = (rng.rand(h, w) > rng.rand()).astype(np.uint8)
+        # column-major run lengths, starting with zeros
+        flat = mask.T.reshape(-1)
+        change = np.flatnonzero(np.diff(flat))
+        counts = np.diff(np.concatenate([[0], change + 1, [flat.size]])).tolist()
+        if flat[0] == 1:
+            counts = [0] + counts
+        assert decode_compressed_counts(encode(counts)) == counts
+        np.testing.assert_array_equal(
+            decode_uncompressed_rle(counts, h, w), mask
+        )
+
+
+def test_refer_getmask_compressed_rle(tmp_path):
+    """getMask decodes compressed-string RLE anns (previously raised)."""
+    from cris_tpu.data.refer import REFER, decode_uncompressed_rle
+
+    root = _make_fake_coco(str(tmp_path))
+    # rewrite ann 2's RLE as a compressed string using the same varint
+    with open(os.path.join(root, "refcoco", "instances.json")) as f:
+        inst = json.load(f)
+    ann = inst["annotations"][2]
+    counts = ann["segmentation"]["counts"]
+
+    def encode(cnts):
+        out = bytearray()
+        for i, x in enumerate(cnts):
+            if i > 2:
+                x -= cnts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = (x != -1) if (c & 0x10) else (x != 0)
+                if more:
+                    c |= 0x20
+                out.append(c + 48)
+        return out.decode("ascii")
+
+    ann["segmentation"] = {
+        "counts": encode(counts), "size": ann["segmentation"]["size"]
+    }
+    with open(os.path.join(root, "refcoco", "instances.json"), "w") as f:
+        json.dump(inst, f)
+
+    refer = REFER(root, "refcoco", "unc")
+    ref = refer.loadRefs(2)[0]
+    got = refer.getMask(ref)["mask"]
+    h, w = refer.Imgs[ref["image_id"]]["height"], refer.Imgs[ref["image_id"]]["width"]
+    np.testing.assert_array_equal(got, decode_uncompressed_rle(counts, h, w))
