@@ -29,18 +29,32 @@ from .utils.logging import logger
 def maybe_init_distributed():
     """Multi-host initialization over DCN (the reference's NCCL rendezvous,
     train.py:80-83, becomes jax.distributed). Engaged when the standard
-    coordinator env vars are present; single-host runs skip it."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    coordinator env vars are present; single-host runs skip it.
+
+    On managed clusters (SLURM/OMPI/K8s/Cloud TPU) jax autodetects the
+    topology, so JAX_COORDINATOR_ADDRESS alone suffices. For a manual
+    launch (the reference's tcp://host:port model), also set
+    JAX_NUM_PROCESSES and JAX_PROCESS_ID -- this jax version has no
+    generic env autodetection for those.
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
-        try:
-            jax.distributed.initialize()
-            logger.info(
-                f"jax.distributed initialized: process "
-                f"{jax.process_index()}/{jax.process_count()}"
-            )
-        except Exception as e:  # already initialized or misconfigured
-            logger.warning(f"jax.distributed.initialize skipped: {e}")
+    )
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+        logger.info(
+            f"jax.distributed initialized: process "
+            f"{jax.process_index()}/{jax.process_count()}"
+        )
+    except Exception as e:  # already initialized or misconfigured
+        logger.warning(f"jax.distributed.initialize skipped: {e}")
 
 
 def get_parser(description: str = "CRIS-TPU Referring Expression Segmentation"):

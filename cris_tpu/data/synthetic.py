@@ -113,6 +113,10 @@ class SyntheticBackend:
             rec = self[i]
             path = os.path.join(mask_root, f"{rec['seg_id']}.png")
             if not os.path.exists(path):
-                with open(path, "wb") as f:
+                # atomic rename: concurrent processes (multi-host tests)
+                # must never observe a partially written PNG
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
                     f.write(rec["mask"])
+                os.replace(tmp, path)
         return mask_root

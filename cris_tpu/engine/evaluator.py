@@ -56,14 +56,27 @@ class Evaluator:
 
     def _put(self, arr):
         if self._sharding is not None:
-            return jax.device_put(arr, self._sharding)
+            from ..parallel import put_global
+
+            return put_global(arr, self._sharding)
         return jnp.asarray(arr)
 
     def predict_probs(self, variables, image: np.ndarray, word: np.ndarray):
-        """(B, input, input) float32 probabilities at network input size."""
-        return np.asarray(
-            self._eval_step(variables, self._put(image), self._put(word))
-        )
+        """(B, input, input) float32 probabilities at network input size.
+
+        image/word are this process's local rows; multi-host, the jitted
+        step runs on the global batch and only the host's own (addressable)
+        rows are fetched back, in local-batch order."""
+        out = self._eval_step(variables, self._put(image), self._put(word))
+        if jax.process_count() == 1:
+            return np.asarray(out)
+        seen = {}  # batch offset -> rows (dedupes tp-replicated shards)
+        for s in out.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in seen:
+                seen[start] = np.asarray(s.data)
+        rows = np.concatenate([seen[k] for k in sorted(seen)])
+        return rows[: image.shape[0]]
 
     # ------------------------------------------------------------------ val
 

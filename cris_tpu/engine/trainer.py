@@ -185,11 +185,15 @@ def train_epoch(
     for i, batch in enumerate(loader):
         timer.step(i)
         data_time.update(time.time() - end)
-        device_batch = {
-            k: (jax.device_put(batch[k], batch_sharding) if batch_sharding
-                else batch[k])
-            for k in ("image", "word", "mask")
-        }
+        if batch_sharding is not None:
+            from ..parallel import put_global
+
+            device_batch = put_global(
+                {k: batch[k] for k in ("image", "word", "mask")},
+                batch_sharding,
+            )
+        else:
+            device_batch = {k: batch[k] for k in ("image", "word", "mask")}
         state, metrics = jit_step(state, device_batch, rng)
 
         pending.append((batch["image"].shape[0], metrics))

@@ -5,6 +5,7 @@ from .mesh import (
     make_mesh,
     make_param_shardings,
     param_spec,
+    put_global,
     replicated,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "make_mesh",
     "make_param_shardings",
     "param_spec",
+    "put_global",
     "replicated",
 ]

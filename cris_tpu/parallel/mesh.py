@@ -46,6 +46,36 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def put_global(tree, shardings):
+    """Place host data onto (possibly multi-host) shardings.
+
+    Single-process: plain jax.device_put. Multi-process: every sharding
+    spans non-addressable devices, so each host contributes its local
+    piece via jax.make_array_from_process_local_data -- per-host batch
+    shards concatenate into the global batch along sharded axes, and
+    replicated leaves (params) are expected identical on every host.
+    `shardings` is a matching pytree of NamedShardings or one sharding
+    applied to every leaf.
+    """
+    single = jax.process_count() == 1
+    if isinstance(shardings, jax.sharding.Sharding):
+        if single:
+            return jax.device_put(tree, shardings)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                shardings, np.asarray(x)
+            ),
+            tree,
+        )
+    if single:
+        return jax.device_put(tree, shardings)
+    return jax.tree.map(
+        lambda x, s: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        tree,
+        shardings,
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -1,0 +1,409 @@
+"""Full-scale torch->JAX parity rehearsal (no released assets required).
+
+The north-star target (BASELINE.md) is mIoU parity +-0.1 against released
+PyTorch checkpoints, which are not present in this container. This tool
+proves every link of that chain at *production shapes* (CRIS-R50, 416 px,
+word_len 17) using fabricated weights:
+
+1. Fabricate an RN50-architecture CLIP TorchScript archive with random
+   weights (stands in for the unavailable RN50.pt; same state_dict keys,
+   consumed via torch.jit.load exactly as the reference does at
+   /root/reference/model/segmenter.py:14-16).
+2. Build the reference torch CRIS-R50 via the reference's own
+   model.build_segmenter (/root/reference/model/__init__.py:32-49) with the
+   real config/refcoco/cris_r50.yaml, run a few Adam optimizer steps
+   (param groups + Adam call of /root/reference/train.py:96-106) on
+   synthetic data so weights AND BatchNorm running stats move, and save a
+   reference-format best_model.pth (/root/reference/train.py:192-207,
+   DDP 'module.' prefix included).
+3. Evaluate that checkpoint through the reference's own engine.inference
+   (/root/reference/engine/engine.py:146-215) on a synthetic val split
+   (all-sentences protocol, batch 1, nn.DataParallel wrap as
+   /root/reference/test.py:71-83).
+4. Evaluate the SAME .pth through our actual `test.py` CLI (subprocess) on
+   the same split -- conversion, BN folding, batched inference, inverse
+   warps, metrics.
+5. Compare mIoU / Pr@{50..90} / oIoU and fail beyond tolerance.
+
+Run:  python tools/parity_rehearsal.py [--images 6] [--steps 2] [--out DIR]
+
+Once the real RN50.pt / LMDB shards exist, use tools/parity_report.py for
+the released-checkpoint BASELINE.md table instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_ROOT = os.environ.get("CRIS_REFERENCE", "/root/reference")
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def ensure_reference_importable():
+    """Put the read-only reference repo on sys.path with its optional deps
+    (ftfy/lmdb/wandb/loguru) stubbed -- same recipe as tests/conftest.py."""
+    import types
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    if "ftfy" not in sys.modules:
+        try:
+            import ftfy  # noqa: F401
+        except ImportError:
+            stub = types.ModuleType("ftfy")
+            stub.fix_text = lambda s: s
+            sys.modules["ftfy"] = stub
+    for name in ("lmdb", "wandb", "loguru"):
+        if name in sys.modules:
+            continue
+        try:
+            __import__(name)
+        except ImportError:
+            mod = types.ModuleType(name)
+            if name == "loguru":
+                import logging
+
+                mod.logger = logging.getLogger("reference")
+                mod.logger.catch = lambda f: f
+            sys.modules[name] = mod
+
+
+def patch_cuda_to_cpu():
+    """Make the reference's .cuda(...) calls no-ops so its CUDA-only code
+    paths (engine/engine.py:154-169) execute on CPU torch."""
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+
+class _Holder:  # replaced below once torch is importable
+    pass
+
+
+def make_fake_rn50_archive(path: str, seed: int = 0) -> None:
+    """Write a TorchScript archive whose state_dict has exactly the RN50
+    CLIP keys/shapes (random weights). torch.jit.script of the reference
+    CLIP itself fails (non-scriptable stem closure, clip.py:209-215), so a
+    scriptable holder-module tree carries the tensors instead; only
+    .state_dict() is consumed downstream (segmenter.py:14-16)."""
+    import torch
+
+    from model.clip import CLIP  # reference
+
+    torch.manual_seed(seed)
+    ref_clip = CLIP(
+        embed_dim=1024,
+        image_resolution=224,
+        vision_layers=(3, 4, 6, 3),
+        vision_width=64,
+        vision_patch_size=None,
+        context_length=77,
+        txt_length=17,
+        vocab_size=49408,
+        transformer_width=512,
+        transformer_heads=8,
+        transformer_layers=12,
+    ).float()
+    # nudge BN running stats off their (0, 1) init so folding is non-trivial
+    with torch.no_grad():
+        ref_clip.train()
+        ref_clip.encode_image(torch.randn(2, 3, 224, 224))
+        ref_clip.eval()
+    sd = dict(ref_clip.state_dict())
+
+    global _Holder
+
+    class _Holder(torch.nn.Module):
+        def forward(self) -> int:
+            return 0
+
+    root = _Holder()
+    for key, value in sd.items():
+        parts = key.split(".")
+        node = root
+        for p in parts[:-1]:
+            child = getattr(node, p, None)
+            if not isinstance(child, torch.nn.Module):
+                node.add_module(p, _Holder())
+            node = getattr(node, p)
+        node.register_buffer(parts[-1], value.clone())
+    torch.jit.script(root).save(path)
+
+
+def make_ref_dataset(backend, mask_root, mode, input_size, word_len):
+    """A torch Dataset serving synthetic records through the reference's
+    own RefDataset preprocessing (utils/dataset.py:128-191): identical
+    warps (getTransformMat + cv2.warpAffine CLIP-mean border), normalize
+    (convert), tokenize; record fetch swapped from LMDB to the synthetic
+    backend."""
+    import cv2
+    from utils.dataset import RefDataset as TorchRefDataset  # reference
+    from utils.dataset import tokenize as ref_tokenize
+
+    class SyntheticRefDataset(TorchRefDataset):
+        def __init__(self):
+            super().__init__(
+                lmdb_dir="<synthetic>", mask_dir=mask_root, dataset="refcoco",
+                split="val", mode=mode, input_size=input_size,
+                word_length=word_len,
+            )
+            self.length = len(backend)
+
+        def __getitem__(self, index):
+            ref = backend[index]
+            ori_img = cv2.imdecode(
+                np.frombuffer(ref["img"], np.uint8), cv2.IMREAD_COLOR
+            )
+            img = cv2.cvtColor(ori_img, cv2.COLOR_BGR2RGB)
+            img_size = img.shape[:2]
+            seg_id = ref["seg_id"]
+            mask_dir = os.path.join(self.mask_dir, str(seg_id) + ".png")
+            sents = ref["sents"]
+            mat, mat_inv = self.getTransformMat(img_size, True)
+            img = cv2.warpAffine(
+                img, mat, self.input_size, flags=cv2.INTER_CUBIC,
+                borderValue=[0.48145466 * 255, 0.4578275 * 255,
+                             0.40821073 * 255],
+            )
+            if self.mode == "train":
+                mask = cv2.imdecode(
+                    np.frombuffer(ref["mask"], np.uint8), cv2.IMREAD_GRAYSCALE
+                )
+                mask = cv2.warpAffine(
+                    mask, mat, self.input_size, flags=cv2.INTER_LINEAR,
+                    borderValue=0.0,
+                )
+                mask = mask / 255.0
+                idx = np.random.choice(ref["num_sents"])
+                word_vec = ref_tokenize(
+                    sents[idx], self.word_length, True
+                ).squeeze(0)
+                img_t, mask_t = self.convert(img, mask)
+                return img_t, word_vec, mask_t
+            img_t = self.convert(img)[0]
+            params = {
+                "ori_img": ori_img,
+                "seg_id": seg_id,
+                "mask_dir": mask_dir,
+                "inverse": mat_inv,
+                "ori_size": np.array(img_size),
+                "sents": sents,
+            }
+            return img_t, params
+
+    return SyntheticRefDataset()
+
+
+def run_reference_stack(cfg, backend, mask_root, ckpt_path, steps, lr):
+    """Torch side: build reference CRIS-R50, train `steps` Adam steps,
+    save best_model.pth, evaluate with reference engine.inference."""
+    import torch
+    from torch.utils.data import DataLoader
+
+    from engine.engine import inference as ref_inference  # reference
+    from model import build_segmenter as ref_build_segmenter  # reference
+
+    patch_cuda_to_cpu()
+    torch.manual_seed(1)
+    model, param_list = ref_build_segmenter(cfg)
+    optimizer = torch.optim.Adam(
+        param_list, lr=lr, weight_decay=cfg.weight_decay
+    )
+
+    train_ds = make_ref_dataset(
+        backend, mask_root, "train", cfg.input_size, cfg.word_len
+    )
+    loader = DataLoader(train_ds, batch_size=2, shuffle=False, num_workers=0)
+    model.train()
+    it = iter(loader)
+    for step in range(steps):
+        img, word, mask = next(it)
+        _, _, loss = model(img, word, mask.unsqueeze(1))
+        optimizer.zero_grad()
+        loss.backward()
+        optimizer.step()
+        print(f"[torch] step {step}: loss={float(loss):.4f}", flush=True)
+    model.eval()
+
+    # reference checkpoint format (train.py:192-207): DDP state_dict with
+    # the 'module.' prefix, as test.py:74-83 expects
+    torch.save(
+        {
+            "epoch": 1,
+            "cur_iou": 0.0,
+            "best_iou": 0.0,
+            "prec": {},
+            "state_dict": {
+                "module." + k: v for k, v in model.state_dict().items()
+            },
+        },
+        ckpt_path,
+    )
+
+    # reference eval: DataParallel wrap + strict load (test.py:71-83)
+    dp_model = torch.nn.DataParallel(model)
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    dp_model.load_state_dict(ckpt["state_dict"], strict=True)
+
+    test_ds = make_ref_dataset(
+        backend, mask_root, "test", cfg.input_size, cfg.word_len
+    )
+    test_loader = DataLoader(
+        test_ds, batch_size=1, shuffle=False, num_workers=0
+    )
+    args = argparse.Namespace(word_len=cfg.word_len, visualize=False)
+    iou, prec = ref_inference(test_loader, dp_model, args)
+    # oIoU is not part of the reference metric set; recompute it here from
+    # the same protocol for the comparison table
+    return {"IoU": 100.0 * iou, **{k: 100.0 * v for k, v in prec.items()}}
+
+
+def run_our_stack(base_config, ckpt_path, data_uri, mask_root, out_dir,
+                  n_pairs_hint):
+    """Our side: run the actual test.py CLI on the converted checkpoint."""
+    import yaml
+
+    exp_dir = os.path.join(out_dir, "exp", "REHEARSAL")
+    os.makedirs(exp_dir, exist_ok=True)
+    target = os.path.join(exp_dir, "best_model.pth")
+    if os.path.abspath(ckpt_path) != os.path.abspath(target):
+        import shutil
+
+        shutil.copyfile(ckpt_path, target)
+
+    with open(base_config) as f:
+        raw = yaml.safe_load(f)
+    raw["TRAIN"]["precision"] = "fp32"  # fp32 vs torch fp32 comparison
+    raw["TRAIN"]["output_folder"] = os.path.join(out_dir, "exp")
+    raw["TRAIN"]["exp_name"] = "REHEARSAL"
+    raw["DATA"]["mask_root"] = mask_root
+    raw["TEST"]["test_lmdb"] = data_uri
+    raw["TEST"]["test_split"] = "val-test"
+    raw["TRAIN"]["batch_size_val"] = max(8, min(32, n_pairs_hint))
+    cfg_path = os.path.join(out_dir, "rehearsal.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+
+    env = dict(os.environ)
+    env.setdefault("CRIS_PLATFORM", "cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "test.py"),
+         "--config", cfg_path],
+        cwd=REPO_ROOT, env=env, capture_output=True, text=True,
+        timeout=3600,
+    )
+    sys.stdout.write(proc.stdout[-2000:])
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"test.py failed rc={proc.returncode}")
+    log = proc.stdout + proc.stderr
+    metrics = {}
+    m = re.search(r"IoU=(\d+\.\d+)", log)
+    metrics["IoU"] = float(m.group(1))
+    for key in ("Pr@50", "Pr@60", "Pr@70", "Pr@80", "Pr@90", "oIoU"):
+        m = re.search(re.escape(key) + r": (\d+\.\d+)", log)
+        metrics[key] = float(m.group(1))
+    return metrics
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--images", type=int, default=6,
+                    help="synthetic val images (1-3 sentences each)")
+    ap.add_argument("--steps", type=int, default=2,
+                    help="torch Adam steps before saving the checkpoint")
+    ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--lr", type=float, default=1e-7,
+                    help="rehearsal LR. Deliberately tiny: BCE on random "
+                    "weights collapses logits below the 0.35 threshold "
+                    "within ~2 steps (degenerate all-zero IoUs that would "
+                    "make the comparison vacuous); at 1e-7 the optimizer "
+                    "and BN running stats still move while predictions "
+                    "keep their spatial structure (frac>thr ~0.98, probs "
+                    "0.17-0.92 at init)")
+    ap.add_argument("--tolerance", type=float, default=0.1,
+                    help="max |ours - reference| in IoU percentage points")
+    ap.add_argument("--out", default=None, help="work dir (default: tmp)")
+    ap.add_argument("--config", default=os.path.join(
+        REPO_ROOT, "config/refcoco/cris_r50.yaml"))
+    args = ap.parse_args(argv)
+
+    out_dir = args.out or tempfile.mkdtemp(prefix="cris_rehearsal_")
+    os.makedirs(out_dir, exist_ok=True)
+    print(f"work dir: {out_dir}", flush=True)
+
+    ensure_reference_importable()
+
+    from cris_tpu.data.synthetic import SyntheticBackend
+    from cris_tpu.utils.config import load_cfg_from_cfg_file
+
+    cfg = load_cfg_from_cfg_file(args.config)
+
+    archive = os.path.join(out_dir, "fake_RN50.pt")
+    if not os.path.isfile(archive):
+        print("=> fabricating RN50-architecture TorchScript archive",
+              flush=True)
+        make_fake_rn50_archive(archive)
+    cfg.clip_pretrain = archive
+
+    backend = SyntheticBackend(args.images, args.seed)
+    mask_root = backend.materialize_masks(os.path.join(out_dir, "masks"))
+    n_pairs = sum(backend[i]["num_sents"] for i in range(len(backend)))
+    print(f"=> synthetic val split: {args.images} images, {n_pairs} "
+          f"(image, sentence) pairs", flush=True)
+
+    ckpt_path = os.path.join(out_dir, "best_model.pth")
+    print("=> reference stack: build + train + save + inference", flush=True)
+    ref_metrics = run_reference_stack(
+        cfg, backend, mask_root, ckpt_path, args.steps, args.lr
+    )
+    print(f"[torch] metrics: {ref_metrics}", flush=True)
+    if not 0.5 < ref_metrics["IoU"] < 99.5:
+        raise RuntimeError(
+            f"degenerate reference mIoU {ref_metrics['IoU']:.2f}: the "
+            "comparison would be vacuous (all-empty or all-full masks); "
+            "lower --lr or --steps"
+        )
+
+    print("=> our stack: test.py on the converted checkpoint", flush=True)
+    data_uri = f"synthetic://{args.images}?seed={args.seed}"
+    our_metrics = run_our_stack(
+        args.config, ckpt_path, data_uri, mask_root, out_dir, n_pairs
+    )
+
+    keys = ["IoU", "Pr@50", "Pr@60", "Pr@70", "Pr@80", "Pr@90"]
+    print(f"\n{'metric':8s} {'reference':>10s} {'ours':>10s} {'diff':>8s}")
+    worst = 0.0
+    for k in keys:
+        if k not in ref_metrics:
+            continue
+        d = abs(our_metrics[k] - ref_metrics[k])
+        worst = max(worst, d)
+        print(f"{k:8s} {ref_metrics[k]:10.2f} {our_metrics[k]:10.2f} "
+              f"{d:8.3f}")
+    if "oIoU" in our_metrics:
+        print(f"{'oIoU':8s} {'-':>10s} {our_metrics['oIoU']:10.2f} "
+              f"{'(ours only)':>8s}")
+    with open(os.path.join(out_dir, "rehearsal_report.json"), "w") as f:
+        json.dump({"reference": ref_metrics, "ours": our_metrics,
+                   "worst_abs_diff": worst}, f, indent=2)
+
+    ok = worst <= args.tolerance
+    print(f"\nworst |diff| = {worst:.3f} (tolerance {args.tolerance}) -> "
+          f"{'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,7 +32,7 @@ from cris_tpu.engine import (
     make_optimizer,
     train_epoch,
 )
-from cris_tpu.parallel import batch_sharding, make_param_shardings
+from cris_tpu.parallel import batch_sharding, make_param_shardings, put_global
 from cris_tpu.utils import ExperimentTracker, init_random_seed, root_key, setup_logger
 from cris_tpu.utils.logging import log_exceptions, logger
 
@@ -69,8 +69,18 @@ def main():
     logger.info(model)
 
     shardings = make_param_shardings(mesh, variables)
-    variables = jax.device_put(variables, shardings)
+    variables = put_global(variables, shardings)
     bsh = batch_sharding(mesh)
+
+    # batch_size is the GLOBAL batch (reference splits it per GPU,
+    # train.py:114-117); each host loads its 1/process_count slice and
+    # put_global concatenates the host slices into the global batch
+    nproc = jax.process_count()
+    if cfg.batch_size % nproc or cfg.batch_size_val % nproc:
+        raise ValueError(
+            f"batch sizes ({cfg.batch_size}/{cfg.batch_size_val}) must "
+            f"divide evenly over {nproc} processes"
+        )
 
     # data
     train_data = RefDataset(
@@ -83,7 +93,7 @@ def main():
     )
     train_loader = RefDataLoader(
         train_data,
-        batch_size=cfg.batch_size,
+        batch_size=cfg.batch_size // nproc,
         shuffle=True,
         seed=cfg.manual_seed,
         drop_last=True,
@@ -93,7 +103,7 @@ def main():
     )
     val_loader = RefDataLoader(
         val_data,
-        batch_size=cfg.batch_size_val,
+        batch_size=cfg.batch_size_val // nproc,
         shuffle=False,
         num_workers=cfg.get("workers_val", 4),
         process_index=jax.process_index(),
@@ -145,7 +155,7 @@ def main():
 
         def put_like(restored, reference):
             return jax.tree_util.tree_map(
-                lambda r, ref: jax.device_put(
+                lambda r, ref: put_global(
                     r,
                     ref.sharding
                     if isinstance(getattr(ref, "sharding", None), NamedSharding)
