@@ -1,4 +1,5 @@
 from .fold import fold_batchnorm
+from .stacking import stack_scanned, unstack_scanned
 from .orbax_io import (
     BEST_NAME,
     LAST_NAME,
@@ -18,6 +19,8 @@ from .torch_convert import (
 
 __all__ = [
     "fold_batchnorm",
+    "stack_scanned",
+    "unstack_scanned",
     "BEST_NAME",
     "LAST_NAME",
     "checkpoint_exists",

@@ -50,7 +50,13 @@ def _fold_pair(weight_leaf: Dict[str, Any], bn_params, bn_stats):
         bn_stats["mean"], np.float64
     ) * inv
     kernel = np.asarray(weight_leaf["kernel"], np.float64)
-    folded = {"kernel": (kernel * inv).astype(np.float32)}
+    # nn.scan-stacked blocks carry a leading layer axis: inv/shift are
+    # (L, C) against kernels (L, kh, kw, in, C) -- align leading L and
+    # trailing C, broadcasting across the middle
+    inv_k = inv if inv.ndim == 1 else inv.reshape(
+        inv.shape[0], *([1] * (kernel.ndim - 2)), inv.shape[-1]
+    )
+    folded = {"kernel": (kernel * inv_k).astype(np.float32)}
     bias = shift
     if "bias" in weight_leaf:  # conv already had a bias (not the case here)
         bias = np.asarray(weight_leaf["bias"], np.float64) * inv + shift

@@ -28,6 +28,7 @@ from typing import Any, Dict, Mapping, Tuple
 import numpy as np
 
 from ..models.clip import CLIPConfig
+from .stacking import stack_scanned
 
 
 def _np(x) -> np.ndarray:
@@ -234,7 +235,10 @@ def convert_clip(sd: Mapping[str, Any], dst_prefix: Tuple[str, ...] = ()):
     _convert_text(tb, sd, "", dst_prefix + ("text",), cfg.transformer_layers)
     if "logit_scale" in sd:
         tb.param(dst_prefix + ("logit_scale",), sd["logit_scale"])
-    return {"params": tb.params, "batch_stats": tb.stats}, cfg
+    return {
+        "params": stack_scanned(tb.params),
+        "batch_stats": stack_scanned(tb.stats),
+    }, cfg
 
 
 def _vit_layers(sd) -> int:
@@ -306,7 +310,10 @@ def convert_cris_state_dict(sd: Mapping[str, Any], num_decoder_layers: int = 3):
     convert_neck(tb, sd, "neck", ("neck",))
     convert_decoder(tb, sd, "decoder", ("decoder",), num_decoder_layers)
     convert_projector(tb, sd, "proj", ("proj",))
-    return {"params": tb.params, "batch_stats": tb.stats}, cfg
+    return {
+        "params": stack_scanned(tb.params),
+        "batch_stats": stack_scanned(tb.stats),
+    }, cfg
 
 
 def load_clip_torchscript(path: str):

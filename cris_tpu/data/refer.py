@@ -195,6 +195,67 @@ class REFER:
     def getRefBox(self, ref_id):
         return self.Anns[self.Refs[ref_id]["ann_id"]]["bbox"]  # [x, y, w, h]
 
+    # ------------------------------------------------------ visualization
+
+    def showRef(self, ref, seg_box: str = "seg", ax=None):
+        """Debug plot of a ref on its image: prints the referring sentences
+        and overlays the segmentation (``seg_box='seg'``: thick-yellow /
+        thin-red polygon outlines for polygon annotations, a half-alpha
+        green tint for RLE masks) or the green annotation box
+        (``seg_box='box'``) -- reference tools/refer.py:240-293 behavior,
+        rendered via our pycocotools-free decoders."""
+        import cv2
+        import matplotlib.pyplot as plt
+        from matplotlib.collections import PatchCollection
+        from matplotlib.patches import Polygon, Rectangle
+
+        ax = ax or plt.gca()
+        image = self.Imgs[ref["image_id"]]
+        img = cv2.imread(os.path.join(self.IMAGE_DIR, image["file_name"]))
+        if img is not None:
+            ax.imshow(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        for sid, sent in enumerate(ref["sentences"]):
+            print(f"{sid + 1}. {sent['sent']}")
+
+        ann = self.Anns[ref["ann_id"]]
+        if seg_box == "seg":
+            seg = ann["segmentation"]
+            if isinstance(seg, list):  # polygons (refcoco*)
+                polygons = [
+                    Polygon(np.asarray(p, np.float64).reshape(-1, 2))
+                    for p in seg
+                ]
+                for edge, width in (((1, 1, 0, 0.8), 3), ((1, 0, 0, 0.8), 1)):
+                    ax.add_collection(
+                        PatchCollection(
+                            polygons, facecolors="none", edgecolors=(edge,),
+                            linewidths=width,
+                        )
+                    )
+            else:  # RLE mask (refclef)
+                m = self.getMask(ref)["mask"].astype(np.float32)
+                tint = np.empty(m.shape + (4,), np.float32)
+                tint[..., :3] = np.array([2.0, 166.0, 101.0]) / 255.0
+                tint[..., 3] = m * 0.5
+                ax.imshow(tint)
+        elif seg_box == "box":
+            x, y, w, h = self.getRefBox(ref["ref_id"])
+            ax.add_patch(
+                Rectangle((x, y), w, h, fill=False, edgecolor="green",
+                          linewidth=3)
+            )
+        else:
+            raise ValueError(f"seg_box must be 'seg' or 'box', got {seg_box!r}")
+        return ax
+
+    def showMask(self, ref, ax=None):
+        """Plot the rasterized binary mask (tools/refer.py:316-320)."""
+        import matplotlib.pyplot as plt
+
+        ax = ax or plt.gca()
+        ax.imshow(self.getMask(ref)["mask"])
+        return ax
+
     # -------------------------------------------------------------- masks
 
     def getMask(self, ref) -> Dict[str, Any]:

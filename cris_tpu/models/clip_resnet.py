@@ -171,15 +171,35 @@ class ModifiedResNet(nn.Module):
         )
 
         def stage(x, planes, blocks, stride, stage_idx):
+            """First block (stride / channel change, carries the downsample
+            branch) stands alone as layer{s}_0; the remaining blocks are
+            identical stride-1 bottlenecks and run as one nn.scan over
+            weights stacked along a leading block axis (params + running BN
+            stats under a single layer{s}_tail subtree). Constant HLO size
+            in depth -- the win is largest for RN101's 23-block layer3."""
             x = block_cls(
                 planes, stride, dtype=self.dtype, fold_bn=self.fold_bn,
                 name=f"layer{stage_idx}_0",
             )(x, train)
-            for j in range(1, blocks):
-                x = block_cls(
-                    planes, 1, dtype=self.dtype, fold_bn=self.fold_bn,
-                    name=f"layer{stage_idx}_{j}",
-                )(x, train)
+            if blocks <= 1:
+                return x
+
+            def body(block, carry, _):
+                return block(carry, train), None
+
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+                length=blocks - 1,
+            )
+            tail = Bottleneck(
+                planes, 1, dtype=self.dtype, fold_bn=self.fold_bn,
+                name=f"layer{stage_idx}_tail",
+            )
+            x, _ = scan(tail, x, None)
             return x
 
         x = stage(x, w, self.layers[0], 1, 1)

@@ -48,6 +48,16 @@ class ResidualAttentionBlock(nn.Module):
 
 
 class Transformer(nn.Module):
+    """Stack of identical residual blocks, executed as one ``nn.scan`` over
+    weights stacked along a leading layer axis (params live under a single
+    ``resblocks`` subtree of shape (layers, ...)).
+
+    The reference unrolls a Python loop of per-layer modules
+    (clip.py:258-283); scanning instead keeps the compiled HLO size
+    constant in depth, which matters here because every train program goes
+    through a remote-compile service at fixed cost per HLO byte.
+    """
+
     width: int
     layers: int
     heads: int
@@ -56,14 +66,20 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for i in range(self.layers):
-            x = ResidualAttentionBlock(
-                self.width,
-                self.heads,
-                causal=self.causal,
-                dtype=self.dtype,
-                name=f"resblocks_{i}",
-            )(x)
+        scan = nn.scan(
+            lambda block, carry, _: (block(carry), None),
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.layers,
+        )
+        block = ResidualAttentionBlock(
+            self.width,
+            self.heads,
+            causal=self.causal,
+            dtype=self.dtype,
+            name="resblocks",
+        )
+        x, _ = scan(block, x, None)
         return x
 
 

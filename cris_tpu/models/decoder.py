@@ -149,29 +149,38 @@ class TransformerDecoder(nn.Module):
 
         x = vis.reshape(b, h * w, d)
         norm = LayerNormF32(self.d_model, name="norm")
-        # static_argnums: 0=self, 1..5=tensors, 6=train
-        layer_cls = (
-            nn.remat(TransformerDecoderLayer, static_argnums=(6,))
-            if self.remat
-            else TransformerDecoderLayer
+
+        # The layers are identical, so they run as one nn.scan over weights
+        # stacked along a leading layer axis (params under a single 'layers'
+        # subtree): constant HLO size in depth. txt/positions/mask are
+        # loop-invariant (nn.broadcast); `train` is a static closure.
+        def body(layer, carry, txt, vis_pos, txt_pos, pad_mask):
+            y = layer(carry, txt, vis_pos, txt_pos, pad_mask, train)
+            return y, (y if self.return_intermediate else None)
+
+        if self.remat:
+            body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast,) * 4,
+            length=self.num_layers,
         )
-        intermediate = []
-        for i in range(self.num_layers):
-            x = layer_cls(
-                self.d_model,
-                self.nhead,
-                self.dim_ffn,
-                self.dropout,
-                dtype=self.dtype,
-                name=f"layers_{i}",
-            )(x, txt, vis_pos, txt_pos, pad_mask, train)
-            if self.return_intermediate:
-                intermediate.append(norm(x))
+        layer = TransformerDecoderLayer(
+            self.d_model,
+            self.nhead,
+            self.dim_ffn,
+            self.dropout,
+            dtype=self.dtype,
+            name="layers",
+        )
+        x, ys = scan(layer, x, txt, vis_pos, txt_pos, pad_mask)
 
         out = norm(x)
         if self.return_intermediate:
-            intermediate[-1] = out
-            return jnp.stack(
-                [y.reshape(b, h, w, d) for y in intermediate], axis=0
-            )
+            # reference semantics (layers.py:139-146): every intermediate is
+            # final-norm'd; the last entry IS the final output
+            inter = norm(ys)  # (L, B, HW, D); LayerNorm acts on the last dim
+            return inter.reshape(self.num_layers, b, h, w, d)
         return out.reshape(b, h, w, d)

@@ -113,6 +113,13 @@ def param_spec(path: Tuple[Any, ...], value, tp_enabled: bool) -> P:
     flat = "/".join(getattr(p, "key", str(p)) for p in path)
     for pattern, spec in _TP_RULES:
         if re.search(pattern, flat):
+            # Rules are written for the per-layer shapes. nn.scan-stacked
+            # params (decoder 'layers', text 'resblocks') carry one extra
+            # leading layer axis: left-pad the spec with None so the same
+            # rule shards the same logical dimension.
+            ndim = getattr(value, "ndim", len(spec))
+            if ndim > len(spec):
+                spec = P(*([None] * (ndim - len(spec)) + list(spec)))
             # only shard when the dimension divides evenly; GSPMD would pad,
             # but uneven shards on tiny dryrun models are not worth it
             return spec

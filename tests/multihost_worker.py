@@ -133,6 +133,17 @@ iou, prec = evaluator.validate(loader, eval_vars, epoch=1, epochs=1)
 results["val_iou"] = float(iou)
 results["val_prec"] = {k: float(v) for k, v in prec.items()}
 
+# ---- 5) distributed all-sentences inference: records round-robin across
+# processes, dummy-batch lockstep at the tail, varlen IoU allgather
+test_data = RefDataset(
+    "synthetic://5?seed=5", None, "refcoco", "val", "test", 64, 17
+)
+t_iou, t_prec = evaluator.inference(
+    test_data, eval_vars, word_len=17, progress=False
+)
+results["test_iou"] = float(t_iou)
+results["test_oiou"] = float(t_prec["oIoU"])
+
 with open(OUT, "w") as f:
     json.dump(results, f)
 print(f"worker {PID} ok", flush=True)

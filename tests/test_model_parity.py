@@ -189,6 +189,7 @@ def test_fpn_parity():
 def test_decoder_parity():
     from model.layers import TransformerDecoder as RefDecoder
 
+    from cris_tpu.checkpoint.stacking import stack_scanned
     from cris_tpu.checkpoint.torch_convert import _TreeBuilder, convert_decoder
     from cris_tpu.models import TransformerDecoder
 
@@ -213,7 +214,9 @@ def test_decoder_parity():
 
     tb = _TreeBuilder()
     convert_decoder(tb, dict(ref.state_dict()), "", (), num_layers=2)
-    variables = {"params": tb.params}
+    # sub-converters emit per-layer entries; the model executes the stack
+    # as one nn.scan over a stacked 'layers' subtree
+    variables = {"params": stack_scanned(tb.params)}
 
     model = TransformerDecoder(
         num_layers=2, d_model=64, nhead=4, dim_ffn=128, dropout=0.0, dtype=None

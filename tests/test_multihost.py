@@ -175,8 +175,18 @@ def test_two_process_validate_matches_single_process(worker_results):
     # NB: workers ran with per-host batch 4 over 2 hosts = global 8
     loader = RefDataLoader(val_data, batch_size=8, shuffle=False, num_workers=1)
     evaluator = Evaluator(model, 64, mesh, batch_size=8)
-    iou, prec = evaluator.validate(
-        loader, {"params": state.params, "batch_stats": state.batch_stats},
-        epoch=1, epochs=1,
-    )
+    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    iou, prec = evaluator.validate(loader, eval_vars, epoch=1, epochs=1)
     assert r0["val_iou"] == pytest.approx(float(iou), abs=2e-3)
+
+    # distributed test-mode inference (5 records round-robin over 2 hosts,
+    # every sentence) == this single process over the same records
+    r0t, r1t = worker_results
+    assert r0t["test_iou"] == pytest.approx(r1t["test_iou"], abs=1e-9)
+    test_data = RefDataset("synthetic://5?seed=5", None, "refcoco", "val",
+                           "test", 64, 17)
+    t_iou, t_prec = evaluator.inference(
+        test_data, eval_vars, word_len=17, progress=False
+    )
+    assert r0t["test_iou"] == pytest.approx(float(t_iou), abs=2e-3)
+    assert r0t["test_oiou"] == pytest.approx(float(t_prec["oIoU"]), abs=2e-3)

@@ -42,11 +42,19 @@ def test_param_spec_rules():
             tuple(Key(p) for p in parts), np.zeros(value_shape), True
         )
 
-    assert spec("decoder", "layers_0", "ffn_fc1", "kernel") == P(None, "model")
-    assert spec("decoder", "layers_0", "ffn_fc2", "kernel") == P("model", None)
-    assert spec("decoder", "layers_1", "self_attn", "q_proj", "kernel") == P(
+    assert spec("decoder", "layers", "ffn_fc1", "kernel") == P(None, "model")
+    assert spec("decoder", "layers", "ffn_fc2", "kernel") == P("model", None)
+    assert spec("decoder", "layers", "self_attn", "q_proj", "kernel") == P(
         None, "model"
     )
+    # stacked nn.scan params carry a leading layer axis: the same rules
+    # left-pad so the logical dims still shard over 'model'
+    assert spec(
+        "decoder", "layers", "ffn_fc1", "kernel", value_shape=(3, 64, 128)
+    ) == P(None, None, "model")
+    assert spec(
+        "decoder", "layers", "ffn_fc1", "bias", value_shape=(3, 128)
+    ) == P(None, "model")
     assert spec("neck", "aggr", "conv", "kernel") == P()
     assert spec("backbone", "visual", "conv1", "kernel") == P()
 
@@ -92,8 +100,8 @@ def test_sharded_train_step(dp, tp):
 
     if tp > 1:
         # verify at least one decoder param is actually sharded over 'model'
-        fc1 = state2.params["decoder"]["layers_0"]["ffn_fc1"]["kernel"]
-        assert fc1.sharding.spec == P(None, "model")
+        fc1 = state2.params["decoder"]["layers"]["ffn_fc1"]["kernel"]
+        assert fc1.sharding.spec == P(None, None, "model")
 
 
 def test_sharded_matches_single_device():

@@ -249,3 +249,40 @@ def test_refer_getmask_compressed_rle(tmp_path):
     got = refer.getMask(ref)["mask"]
     h, w = refer.Imgs[ref["image_id"]]["height"], refer.Imgs[ref["image_id"]]["width"]
     np.testing.assert_array_equal(got, decode_uncompressed_rle(counts, h, w))
+
+
+def test_refer_show_helpers(tmp_path):
+    """showRef/showMask render without error on polygon, RLE, and box modes
+    (reference tools/refer.py:240-320 surface)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from cris_tpu.data.refer import REFER
+
+    root = _make_fake_coco(str(tmp_path))
+    refer = REFER(root, "refcoco", "unc")
+
+    fig, ax = plt.subplots()
+    refer.showRef(refer.Refs[0], seg_box="seg", ax=ax)  # polygon outlines
+    assert len(ax.collections) == 2  # thick yellow + thin red
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    refer.showRef(refer.Refs[2], seg_box="seg", ax=ax)  # RLE tint overlay
+    assert len(ax.images) == 2  # photo + tint
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    refer.showRef(refer.Refs[0], seg_box="box", ax=ax)
+    assert len(ax.patches) == 1
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    refer.showMask(refer.Refs[2], ax=ax)
+    assert len(ax.images) == 1
+    plt.close(fig)
+
+    with pytest.raises(ValueError):
+        refer.showRef(refer.Refs[0], seg_box="nope")
