@@ -31,8 +31,15 @@ number).
 import dataclasses
 import json
 import os
+import sys
 import time
 from functools import partial
+
+
+def _dbg(msg):
+    if os.environ.get("CRIS_BENCH_DEBUG"):
+        print(f"[bench +{time.monotonic() - START:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
 BATCH = 32
 N_SHORT = 2
@@ -86,6 +93,7 @@ def build_model(preset_name, fold_bn):
         dim_ffn=2048,
         dropout=0.1,
         dtype=jnp.bfloat16,
+        scan_unroll=0,  # production default (models/__init__.py)
     )
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0),
@@ -95,7 +103,7 @@ def build_model(preset_name, fold_bn):
     )
     if fold_bn:
         # production eval path: BN folded into conv weights (exact rewrite)
-        model = dataclasses.replace(model, fold_bn=True)
+        model = dataclasses.replace(model, fold_bn=True, scan_unroll=0)
         variables = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
     variables = jax.device_put(variables)
     return model, variables
@@ -193,34 +201,44 @@ def make_train_bench(preset_name):
 
 def measure(timed, budget_s, trials=3):
     """Marginal step time in ms, or (None, amortized_ms) on deadline."""
-    deadline = min(time_left(), budget_s) + (time.monotonic() - START)
+    deadline = time.monotonic() + min(time_left(), budget_s)
 
     def left():
         return deadline - time.monotonic()
 
     # compile both scan lengths
     t_short_best = timed(N_SHORT, 10_000)
+    _dbg(f"compile short: {t_short_best:.2f}s")
     t_long_best = timed(N_LONG, 20_000)
+    _dbg(f"compile long: {t_long_best:.2f}s")
 
     # the relay can stall for seconds; retry until the marginal step time is
     # physically sane (between the bf16 roofline and a stalled bound)
     SANE_MS = (5.0, 5000.0)
     for attempt in range(8):
         if left() < 45:
+            _dbg(f"attempt {attempt}: out of budget ({left():.0f}s left)")
             break
         base = 50_000 * (attempt + 1)
         # probe: if even a short scan stalls, let the relay recover before
         # burning trials on garbage timings
         probe = timed(N_SHORT, base - 1)
+        _dbg(f"attempt {attempt}: probe {probe:.2f}s")
         if probe > STALL_S:
             if left() > 120:
                 time.sleep(min(60, left() - 90))
             continue
-        t_short = min(timed(N_SHORT, base + i) for i in range(trials))
-        t_long = min(timed(N_LONG, base + 10_000 + i * 100) for i in range(trials))
+        shorts = [timed(N_SHORT, base + i) for i in range(trials)]
+        longs = [timed(N_LONG, base + 10_000 + i * 100) for i in range(trials)]
+        t_short = min(shorts)
+        t_long = min(longs)
         t_short_best = min(t_short_best, t_short)
         t_long_best = min(t_long_best, t_long)
         marginal = (t_long - t_short) / (N_LONG - N_SHORT) * 1000.0
+        _dbg(
+            f"attempt {attempt}: shorts={[f'{t:.2f}' for t in shorts]} "
+            f"longs={[f'{t:.2f}' for t in longs]} marginal={marginal:.1f}ms"
+        )
         if SANE_MS[0] <= marginal <= SANE_MS[1]:
             return marginal, None
         if left() > 90:
@@ -244,7 +262,22 @@ def run_metric(metric, make_bench, budget_s, trials, required):
              note="deadline-degraded: amortized rate incl. dispatch overhead")
 
 
+def warmup_device():
+    """Absorb the relay's first-contact stall (can be minutes after a
+    killed job) on a trivial program before any metric budget starts."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.monotonic()
+    f = jax.jit(lambda x: (x @ x).sum())
+    for i in range(3):
+        x = jax.random.normal(jax.random.PRNGKey(i), (1024, 1024), jnp.bfloat16)
+        float(f(x))
+    _dbg(f"device warmup: {time.monotonic() - t0:.1f}s")
+
+
 def main():
+    warmup_device()
     # Headline first and with the biggest budget: it must always print.
     run_metric(
         "cris_r50_eval_throughput_416px_b32",

@@ -55,6 +55,11 @@ def build_segmenter(cfg, clip_config: CLIPConfig = None) -> CRIS:
         intermediate=cfg.get("intermediate", False),
         dtype=resolve_dtype(cfg.get("precision", "bf16")),
         remat=bool(cfg.get("remat", False)),
+        # 0 = fully unroll the homogeneous layer scans (measured best for
+        # the R50 train program: fits HBM at b32 and compiles in ~80s vs
+        # the 100-240s/OOM of the per-layer-module layout); set 1 (+remat)
+        # to trade step time for a much smaller activation footprint
+        scan_unroll=int(cfg.get("scan_unroll", 0)),
     )
 
 

@@ -106,6 +106,7 @@ class CLIP(nn.Module):
     dtype: Optional[Dtype] = None
     remat: bool = False
     fold_bn: bool = False
+    scan_unroll: int = 1  # 0 = fully unroll the layer scans (eval-only)
 
     def setup(self):
         import numpy as np
@@ -126,6 +127,7 @@ class CLIP(nn.Module):
                 heads=cfg.vision_heads,
                 output_dim=cfg.embed_dim,
                 dtype=self.dtype,
+                scan_unroll=self.scan_unroll,
             )
         else:
             self.visual = ModifiedResNet(
@@ -137,6 +139,7 @@ class CLIP(nn.Module):
                 dtype=self.dtype,
                 remat=self.remat,
                 fold_bn=self.fold_bn,
+                scan_unroll=self.scan_unroll,
             )
         self.text = TextEncoder(
             vocab_size=cfg.vocab_size,
@@ -146,6 +149,8 @@ class CLIP(nn.Module):
             layers=cfg.transformer_layers,
             embed_dim=cfg.embed_dim,
             dtype=self.dtype,
+            scan_unroll=self.scan_unroll,
+            remat=self.remat,
         )
 
     def encode_image(self, image: jnp.ndarray, train: bool = False):

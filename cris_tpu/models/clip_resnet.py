@@ -135,6 +135,7 @@ class ModifiedResNet(nn.Module):
     dtype: Optional[Dtype] = None
     remat: bool = False  # rematerialize bottlenecks in backward (saves HBM)
     fold_bn: bool = False  # inference variant: BN folded into conv weights
+    scan_unroll: int = 1  # 0 = fully unroll (eval-only programs)
 
     @nn.compact
     def __call__(
@@ -194,6 +195,7 @@ class ModifiedResNet(nn.Module):
                 variable_axes={"params": 0, "batch_stats": 0},
                 split_rngs={"params": True},
                 length=blocks - 1,
+                unroll=min(self.scan_unroll or (blocks - 1), blocks - 1),
             )
             tail = Bottleneck(
                 planes, 1, dtype=self.dtype, fold_bn=self.fold_bn,

@@ -63,14 +63,27 @@ class Transformer(nn.Module):
     heads: int
     causal: bool = False
     dtype: Optional[Dtype] = None
+    # lax.scan unroll factor; 0 = fully unroll (same stacked param layout,
+    # but XLA regains cross-layer fusion/layout freedom -- use for
+    # eval-only programs where HLO size is cheap)
+    scan_unroll: int = 1
+    # rematerialize block internals in backward: scan saves only the
+    # between-block carries instead of stacked per-block residuals
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def body(block, carry, _):
+            return block(carry), None
+
+        if self.remat:
+            body = nn.remat(body, prevent_cse=False)
         scan = nn.scan(
-            lambda block, carry, _: (block(carry), None),
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.layers,
+            unroll=min(self.scan_unroll or self.layers, self.layers),
         )
         block = ResidualAttentionBlock(
             self.width,
@@ -93,6 +106,8 @@ class TextEncoder(nn.Module):
     layers: int
     embed_dim: int
     dtype: Optional[Dtype] = None
+    scan_unroll: int = 1
+    remat: bool = False
 
     @nn.compact
     def __call__(self, text: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -124,6 +139,8 @@ class TextEncoder(nn.Module):
             self.heads,
             causal=True,
             dtype=self.dtype,
+            scan_unroll=self.scan_unroll,
+            remat=self.remat,
             name="transformer",
         )(x)
         word = LayerNormF32(self.width, name="ln_final")(x)

@@ -28,6 +28,7 @@ class VisionTransformer(nn.Module):
     heads: int
     output_dim: int
     dtype: Optional[Dtype] = None
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -69,7 +70,8 @@ class VisionTransformer(nn.Module):
         x = x + positional_embedding.astype(x.dtype)
         x = LayerNormF32(self.width, name="ln_pre")(x)
         x = Transformer(
-            self.width, self.layers, self.heads, dtype=self.dtype, name="transformer"
+            self.width, self.layers, self.heads, dtype=self.dtype,
+            scan_unroll=self.scan_unroll, name="transformer",
         )(x)
         x = LayerNormF32(self.width, name="ln_post")(x[:, 1:, :])
         return (x.astype(jnp.float32) @ proj).astype(x.dtype)

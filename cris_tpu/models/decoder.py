@@ -133,6 +133,7 @@ class TransformerDecoder(nn.Module):
     return_intermediate: bool = False
     dtype: Optional[Dtype] = None
     remat: bool = False
+    scan_unroll: int = 1  # 0 = fully unroll (eval-only programs)
 
     @nn.compact
     def __call__(
@@ -166,6 +167,7 @@ class TransformerDecoder(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast,) * 4,
             length=self.num_layers,
+            unroll=min(self.scan_unroll or self.num_layers, self.num_layers),
         )
         layer = TransformerDecoderLayer(
             self.d_model,

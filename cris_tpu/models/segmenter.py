@@ -47,11 +47,16 @@ class CRIS(nn.Module):
     dtype: Optional[Dtype] = None
     remat: bool = False
     fold_bn: bool = False  # inference-only: use with fold_batchnorm(variables)
+    # lax.scan unroll for the homogeneous layer stacks; 0 = fully unroll.
+    # Train programs keep 1 (constant HLO size through the remote
+    # compiler); eval-only programs set 0 (XLA regains cross-layer fusion;
+    # parameter layout is identical either way).
+    scan_unroll: int = 1
 
     def setup(self):
         self.backbone = CLIP(
             self.clip_config, dtype=self.dtype, remat=self.remat,
-            fold_bn=self.fold_bn,
+            fold_bn=self.fold_bn, scan_unroll=self.scan_unroll,
         )
         self.neck = FPN(
             tuple(self.fpn_in), tuple(self.fpn_out), dtype=self.dtype,
@@ -66,6 +71,7 @@ class CRIS(nn.Module):
             return_intermediate=self.intermediate,
             dtype=self.dtype,
             remat=self.remat,
+            scan_unroll=self.scan_unroll,
         )
         self.proj = Projector(
             word_dim=self.clip_config.embed_dim,

@@ -105,7 +105,7 @@ class PredictService:
 
             from .checkpoint import fold_batchnorm
 
-            model = dataclasses.replace(model, fold_bn=True)
+            model = dataclasses.replace(model, fold_bn=True, scan_unroll=0)
             variables = fold_batchnorm(
                 jax.tree_util.tree_map(np.asarray, variables)
             )

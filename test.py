@@ -70,7 +70,7 @@ def main():
         from cris_tpu.checkpoint import fold_batchnorm
 
         logger.info("=> folding BatchNorm into conv weights for inference")
-        model = dataclasses.replace(model, fold_bn=True)
+        model = dataclasses.replace(model, fold_bn=True, scan_unroll=0)
         variables = fold_batchnorm(
             jax.tree_util.tree_map(np.asarray, variables)
         )

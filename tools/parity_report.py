@@ -86,7 +86,7 @@ def load_variables(cfg, ckpt: str):
 
         from cris_tpu.checkpoint import fold_batchnorm
 
-        model = dataclasses.replace(model, fold_bn=True)
+        model = dataclasses.replace(model, fold_bn=True, scan_unroll=0)
         variables = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
     return model, variables
 
