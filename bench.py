@@ -103,8 +103,11 @@ def build_model(preset_name, fold_bn):
     )
     if fold_bn:
         # production eval path: BN folded into conv weights (exact rewrite)
-        model = dataclasses.replace(model, fold_bn=True, scan_unroll=0)
-        variables = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+        model = dataclasses.replace(model, fold_bn=True, scan_unroll=0,
+                                    pos_grid=416 // 32)
+        variables = fold_batchnorm(
+            jax.tree_util.tree_map(np.asarray, variables), input_resolution=416
+        )
     variables = jax.device_put(variables)
     return model, variables
 

@@ -64,9 +64,43 @@ def _fold_pair(weight_leaf: Dict[str, Any], bn_params, bn_stats):
     return folded
 
 
-def fold_batchnorm(variables: Dict[str, Any]) -> Dict[str, Any]:
+def _fold_pos_embed(pe: np.ndarray, grid: int) -> np.ndarray:
+    """Pre-resize the attnpool positional embedding to the inference grid.
+
+    At apply time AttentionPool2d bicubic-resizes the trained
+    (spacial_dim^2+1, C) embedding to the actual (h, w) grid every forward
+    (reference: /root/reference/model/clip.py:110-144); for a fixed
+    inference resolution the resize is a constant, so folding it into the
+    checkpoint removes those per-step resize ops (profiled ~0.8 ms/fwd of
+    tiny badly-tiled f32 matmuls on v5e). The CLS slot (row 0) is kept
+    so the parameter keeps its (n^2+1, C) convention.
+    """
+    n = pe.shape[0] - 1
+    sd = int(round(n**0.5))
+    if sd == grid:
+        return pe
+    from ..ops.resize import resize_weight_matrix
+
+    w = resize_weight_matrix(sd, grid, "bicubic", False).astype(np.float64)
+    g = pe[1:].reshape(sd, sd, -1).astype(np.float64)
+    g = np.einsum("oh,hwc->owc", w, g)
+    g = np.einsum("pw,owc->opc", w, g)
+    return np.concatenate(
+        [np.asarray(pe[:1], np.float32),
+         g.reshape(grid * grid, -1).astype(np.float32)], axis=0
+    )
+
+
+def fold_batchnorm(
+    variables: Dict[str, Any], input_resolution: int | None = None
+) -> Dict[str, Any]:
     """variables {'params', 'batch_stats'} -> folded variables for the
-    fold_bn=True model (BN entries removed except KEEP_BN)."""
+    fold_bn=True model (BN entries removed except KEEP_BN).
+
+    input_resolution: when given, additionally pre-resizes the attnpool
+    positional embedding to the (input_resolution // 32)^2 grid so the
+    eval forward skips the per-step bicubic resize (see _fold_pos_embed).
+    """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
 
@@ -108,4 +142,21 @@ def fold_batchnorm(variables: Dict[str, Any]) -> Dict[str, Any]:
         return new_p, new_s
 
     new_params, new_stats = walk(params, stats)
+
+    if input_resolution is not None:
+        grid = input_resolution // 32
+
+        def fold_pos(node: Dict[str, Any]):
+            for k, v in node.items():
+                if not isinstance(v, dict):
+                    continue
+                if k == "attnpool" and "positional_embedding" in v:
+                    v["positional_embedding"] = _fold_pos_embed(
+                        np.asarray(v["positional_embedding"]), grid
+                    )
+                else:
+                    fold_pos(v)
+
+        fold_pos(new_params)
+
     return {"params": new_params, "batch_stats": new_stats}

@@ -107,6 +107,8 @@ class CLIP(nn.Module):
     remat: bool = False
     fold_bn: bool = False
     scan_unroll: int = 1  # 0 = fully unroll the layer scans (eval-only)
+    pos_grid: Optional[int] = None  # pre-folded attnpool pos-embed grid
+    fuse_pool: Optional[bool] = None  # fused anti-aliasing pools (None = auto)
 
     def setup(self):
         import numpy as np
@@ -140,6 +142,8 @@ class CLIP(nn.Module):
                 remat=self.remat,
                 fold_bn=self.fold_bn,
                 scan_unroll=self.scan_unroll,
+                pos_grid=self.pos_grid,
+                fuse_pool=self.fuse_pool,
             )
         self.text = TextEncoder(
             vocab_size=cfg.vocab_size,

@@ -20,9 +20,22 @@ from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
 from ..ops.resize import avg_pool2d, resize2d
-from .layers import BatchNorm
+from .layers import BatchNorm, PooledConv1x1
 
 Dtype = Any
+
+
+def _auto_fuse_pool(fuse_pool: Optional[bool], dtype) -> bool:
+    """Fuse anti-aliasing avg pools into the adjacent 1x1 convs?
+
+    Default: yes for sub-f32 compute dtypes (the fold removes whole HBM
+    passes -- see PooledConv1x1), no for f32, where there is no upcast
+    pass to save and keeping the reference op order preserves exact
+    torch-trajectory parity in the f32 test harness.
+    """
+    if fuse_pool is not None:
+        return fuse_pool
+    return dtype is not None and jnp.dtype(dtype) != jnp.float32
 
 
 class Bottleneck(nn.Module):
@@ -30,6 +43,8 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Optional[Dtype] = None
     fold_bn: bool = False
+    in_pool: int = 1  # fused stride-`in_pool` avg pool on the block input
+    fuse_pool: Optional[bool] = None  # None = auto by dtype
 
     expansion: int = 4
 
@@ -37,8 +52,15 @@ class Bottleneck(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         inplanes = x.shape[-1]
         out_planes = self.planes * self.expansion
+        fuse = _auto_fuse_pool(self.fuse_pool, self.dtype)
+        in_pool = self.in_pool if fuse else 1
 
-        def conv(features, ksize, name):
+        def conv(features, ksize, name, pool=1):
+            if pool > 1:
+                return PooledConv1x1(
+                    features, pool, use_bias=self.fold_bn, dtype=self.dtype,
+                    name=name,
+                )
             return nn.Conv(
                 features,
                 (ksize, ksize),
@@ -55,19 +77,24 @@ class Bottleneck(nn.Module):
             return BatchNorm(features, dtype=self.dtype, name=name)
 
         out = nn.relu(bn(self.planes, "bn1")(
-            conv(self.planes, 1, "conv1")(x), train))
+            conv(self.planes, 1, "conv1", pool=in_pool)(x), train))
         out = nn.relu(bn(self.planes, "bn2")(
             conv(self.planes, 3, "conv2")(out), train))
-        if self.stride > 1:
+        if self.stride > 1 and not fuse:
             out = avg_pool2d(out, self.stride)
-        out = bn(out_planes, "bn3")(conv(out_planes, 1, "conv3")(out), train)
+        out = bn(out_planes, "bn3")(
+            conv(out_planes, 1, "conv3",
+                 pool=self.stride if fuse else 1)(out), train)
 
         identity = x
-        if self.stride > 1 or inplanes != out_planes:
+        if self.stride > 1 or in_pool > 1 or inplanes != out_planes:
             identity = x
-            if self.stride > 1:
+            if self.stride > 1 and not fuse:
                 identity = avg_pool2d(identity, self.stride)
-            identity = conv(out_planes, 1, "downsample_conv")(identity)
+            identity = conv(
+                out_planes, 1, "downsample_conv",
+                pool=max(self.stride, in_pool) if fuse else 1,
+            )(identity)
             identity = bn(out_planes, "downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
@@ -81,6 +108,10 @@ class AttentionPool2d(nn.Module):
     output_dim: int
     dtype: Optional[Dtype] = None
     fold_bn: bool = False
+    # declared pos-embed grid override: set to the inference grid when the
+    # checkpoint's embedding was pre-resized by
+    # fold_batchnorm(input_resolution=...), so the param shapes agree.
+    pos_grid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -88,7 +119,7 @@ class AttentionPool2d(nn.Module):
         pos_embed = self.param(
             "positional_embedding",
             nn.initializers.normal(stddev=self.embed_dim**-0.5),
-            (self.spacial_dim**2 + 1, self.embed_dim),
+            ((self.pos_grid or self.spacial_dim) ** 2 + 1, self.embed_dim),
             jnp.float32,
         )
 
@@ -106,11 +137,13 @@ class AttentionPool2d(nn.Module):
                 res, train
             )
 
-        # resize the trained (spacial_dim x spacial_dim) positional embedding
-        # to the actual grid; the CLS slot (index 0) is dropped.
-        grid_pos = pos_embed[1:].reshape(
-            1, self.spacial_dim, self.spacial_dim, self.embed_dim
-        )
+        # resize the trained (sd x sd) positional embedding to the actual
+        # grid; the CLS slot (index 0) is dropped. sd is inferred from the
+        # stored parameter (not self.spacial_dim) so that checkpoints with
+        # the resize pre-folded (fold_batchnorm(input_resolution=...)) skip
+        # the per-step resize entirely (resize2d no-ops when sd == h).
+        sd = int(round((pos_embed.shape[0] - 1) ** 0.5))
+        grid_pos = pos_embed[1:].reshape(1, sd, sd, self.embed_dim)
         grid_pos = resize2d(grid_pos, (h, w), "bicubic", align_corners=False)
         tokens = x.reshape(b, h * w, c) + grid_pos.reshape(1, h * w, c).astype(x.dtype)
 
@@ -136,12 +169,15 @@ class ModifiedResNet(nn.Module):
     remat: bool = False  # rematerialize bottlenecks in backward (saves HBM)
     fold_bn: bool = False  # inference variant: BN folded into conv weights
     scan_unroll: int = 1  # 0 = fully unroll (eval-only programs)
+    fuse_pool: Optional[bool] = None  # None = auto by dtype (see Bottleneck)
+    pos_grid: Optional[int] = None  # pre-folded attnpool pos-embed grid
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         w = self.width
+        fuse = _auto_fuse_pool(self.fuse_pool, self.dtype)
 
         def stem_conv(features, stride, name):
             return nn.Conv(
@@ -164,14 +200,17 @@ class ModifiedResNet(nn.Module):
         x = nn.relu(stem_bn(w // 2, "bn1")(stem_conv(w // 2, 2, "conv1")(x), train))
         x = nn.relu(stem_bn(w // 2, "bn2")(stem_conv(w // 2, 1, "conv2")(x), train))
         x = nn.relu(stem_bn(w, "bn3")(stem_conv(w, 1, "conv3")(x), train))
-        x = avg_pool2d(x, 2)
+        if not fuse:
+            # unfused: the stem's anti-aliasing pool runs standalone; fused,
+            # layer1_0's conv1/downsample absorb it (in_pool=2 below).
+            x = avg_pool2d(x, 2)
 
         # static_argnums: 0=self(module), 1=x, 2=train
         block_cls = (
             nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
         )
 
-        def stage(x, planes, blocks, stride, stage_idx):
+        def stage(x, planes, blocks, stride, stage_idx, in_pool=1):
             """First block (stride / channel change, carries the downsample
             branch) stands alone as layer{s}_0; the remaining blocks are
             identical stride-1 bottlenecks and run as one nn.scan over
@@ -180,6 +219,7 @@ class ModifiedResNet(nn.Module):
             in depth -- the win is largest for RN101's 23-block layer3."""
             x = block_cls(
                 planes, stride, dtype=self.dtype, fold_bn=self.fold_bn,
+                in_pool=in_pool, fuse_pool=self.fuse_pool,
                 name=f"layer{stage_idx}_0",
             )(x, train)
             if blocks <= 1:
@@ -199,12 +239,12 @@ class ModifiedResNet(nn.Module):
             )
             tail = Bottleneck(
                 planes, 1, dtype=self.dtype, fold_bn=self.fold_bn,
-                name=f"layer{stage_idx}_tail",
+                fuse_pool=self.fuse_pool, name=f"layer{stage_idx}_tail",
             )
             x, _ = scan(tail, x, None)
             return x
 
-        x = stage(x, w, self.layers[0], 1, 1)
+        x = stage(x, w, self.layers[0], 1, 1, in_pool=2 if fuse else 1)
         x2 = stage(x, w * 2, self.layers[1], 2, 2)
         x3 = stage(x2, w * 4, self.layers[2], 2, 3)
         x4 = stage(x3, w * 8, self.layers[3], 2, 4)
@@ -217,6 +257,7 @@ class ModifiedResNet(nn.Module):
             output_dim=self.output_dim,
             dtype=self.dtype,
             fold_bn=self.fold_bn,
+            pos_grid=self.pos_grid,
             name="attnpool",
         )(x4, train)
         return x2, x3, x4

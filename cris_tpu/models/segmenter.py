@@ -52,11 +52,18 @@ class CRIS(nn.Module):
     # compiler); eval-only programs set 0 (XLA regains cross-layer fusion;
     # parameter layout is identical either way).
     scan_unroll: int = 1
+    # inference grid of a pre-folded attnpool pos embed (see
+    # checkpoint.fold_batchnorm(input_resolution=...)); None = trained grid
+    pos_grid: Optional[int] = None
+    # override the dtype-keyed auto gate for fused anti-aliasing pools
+    # (models/clip_resnet.py:_auto_fuse_pool); None = auto
+    fuse_pool: Optional[bool] = None
 
     def setup(self):
         self.backbone = CLIP(
             self.clip_config, dtype=self.dtype, remat=self.remat,
             fold_bn=self.fold_bn, scan_unroll=self.scan_unroll,
+            pos_grid=self.pos_grid, fuse_pool=self.fuse_pool,
         )
         self.neck = FPN(
             tuple(self.fpn_in), tuple(self.fpn_out), dtype=self.dtype,

@@ -52,25 +52,30 @@ def dot_product_attention(
     head_dim = q.shape[-1] // num_heads
     scale = head_dim**-0.5
 
-    qh = split_heads(q, num_heads)
-    kh = split_heads(k, num_heads)
-    vh = split_heads(v, num_heads)
-
-    # Fused Pallas kernel path: logits never touch HBM. Engaged for the
-    # deterministic unbiased-mask sites (decoder self/cross-attn, attnpool);
-    # the causal text encoder and attention-dropout training path stay on
-    # XLA.
+    # Fused Pallas kernel path: logits never touch HBM, and the (B, S, E)
+    # layout is consumed directly (no head split/merge transposes -- those
+    # were ~1 ms HBM passes each at the decoder's 32x676x512). Engaged for
+    # the deterministic unbiased-mask sites (decoder self/cross-attn,
+    # attnpool); the causal text encoder and attention-dropout training
+    # path stay on XLA.
     use_dropout = dropout_rate > 0.0 and not deterministic
     if attn_mask is None and not use_dropout and head_dim <= 128:
-        from .pallas import fused_attention, pallas_enabled, pallas_interpret
+        from .pallas import (
+            fused_attention_bse, pallas_enabled, pallas_interpret,
+        )
 
         if pallas_enabled() and k.shape[1] <= 2048:
             kv_valid = None
             if key_padding_mask is not None:
                 kv_valid = ~key_padding_mask
             # positional args: custom_vjp functions reject keywords
-            out = fused_attention(qh, kh, vh, kv_valid, None, pallas_interpret())
-            return merge_heads(out)
+            return fused_attention_bse(
+                q, k, v, num_heads, kv_valid, None, pallas_interpret()
+            )
+
+    qh = split_heads(q, num_heads)
+    kh = split_heads(k, num_heads)
+    vh = split_heads(v, num_heads)
 
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32

@@ -9,10 +9,11 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
-from .attention import fused_attention
+from .attention import fused_attention, fused_attention_bse
 from .fused_matmul import conv1x1_fused, fused_matmul
 
-__all__ = ["fused_attention", "conv1x1_fused", "fused_matmul",
+__all__ = ["fused_attention", "fused_attention_bse",
+           "conv1x1_fused", "fused_matmul",
            "pallas_enabled", "pallas_interpret", "pallas_mode"]
 
 

@@ -129,7 +129,14 @@ def resize2d(
 
 
 def upsample2x(x: jnp.ndarray, method: str = "bilinear") -> jnp.ndarray:
-    """scale_factor=2 upsample (align_corners=False), NHWC."""
+    """scale_factor=2 upsample (align_corners=False), NHWC.
+
+    Stays on the matmul formulation: measured on v5e, the two resize
+    matmuls cost ~0.3 ms at the Projector's (32,26,26,512) shape, while a
+    shift-and-interleave elementwise formulation (stack + reshape to
+    interleave rows/cols) was 3.4x slower -- the (W,2)->2W interleave
+    reshape defeats the fusion emitter's vectorization. Don't retry.
+    """
     return resize2d(x, (x.shape[-3] * 2, x.shape[-2] * 2), method, False)
 
 
@@ -140,8 +147,20 @@ def avg_pool2d(x: jnp.ndarray, window: int, stride: int | None = None) -> jnp.nd
     stride = stride or window
     b, h, w, c = x.shape
     if stride == window and h % window == 0 and w % window == 0:
-        # the only case the model uses: non-overlapping windows -> a pure
-        # reshape + mean, which XLA fuses and autodiff handles trivially
+        # the only case the model uses: non-overlapping windows.
+        if x.dtype != jnp.float32:
+            # Strided slices + adds instead of a reduce op: XLA upcasts
+            # narrow-dtype reductions to f32 as separate convert *passes*
+            # (profiled at several ms per forward across the stem /
+            # bottleneck pool sites), while this form stays one loop
+            # fusion with f32 accumulation in registers.
+            acc = None
+            for i in range(window):
+                for j in range(window):
+                    part = x[:, i::window, j::window, :].astype(jnp.float32)
+                    acc = part if acc is None else acc + part
+            return (acc * (1.0 / (window * window))).astype(x.dtype)
+        # f32 keeps the reduce form (no upcast pass exists to avoid).
         x = x.reshape(b, h // window, window, w // window, window, c)
         return x.mean(axis=(2, 4))
     out = jax.lax.reduce_window(

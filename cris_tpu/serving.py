@@ -105,9 +105,13 @@ class PredictService:
 
             from .checkpoint import fold_batchnorm
 
-            model = dataclasses.replace(model, fold_bn=True, scan_unroll=0)
+            model = dataclasses.replace(
+                model, fold_bn=True, scan_unroll=0,
+                pos_grid=self.input_size // 32,
+            )
             variables = fold_batchnorm(
-                jax.tree_util.tree_map(np.asarray, variables)
+                jax.tree_util.tree_map(np.asarray, variables),
+                input_resolution=self.input_size,
             )
         self.model = model
         self.variables = jax.device_put(variables)

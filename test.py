@@ -70,9 +70,11 @@ def main():
         from cris_tpu.checkpoint import fold_batchnorm
 
         logger.info("=> folding BatchNorm into conv weights for inference")
-        model = dataclasses.replace(model, fold_bn=True, scan_unroll=0)
+        model = dataclasses.replace(model, fold_bn=True, scan_unroll=0,
+                                    pos_grid=cfg.input_size // 32)
         variables = fold_batchnorm(
-            jax.tree_util.tree_map(np.asarray, variables)
+            jax.tree_util.tree_map(np.asarray, variables),
+            input_resolution=cfg.input_size,
         )
 
     variables = jax.device_put(variables, make_param_shardings(mesh, variables))

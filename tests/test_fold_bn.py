@@ -71,3 +71,53 @@ def test_fused_matmul_kernel_matches_xla():
     ref = jnp.maximum(x @ w + b + r, 0.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fold_pos_embed_and_fused_pool_eval_graph():
+    """Full production-eval transform chain on a tiny CRIS: BN fold +
+    pos-embed pre-resize (input_resolution) + fused anti-aliasing pools
+    must reproduce the reference-order f32 forward."""
+    from cris_tpu.checkpoint import fold_batchnorm
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(1, 49000, (2, 17)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, word, train=False)
+
+    ref = model.apply(variables, img, word, train=False)
+
+    folded_model = dataclasses.replace(model, fold_bn=True, pos_grid=64 // 32)
+    # the tiny model trains at its native 64px resolution, so the pre-fold
+    # resizes the (2x2+1) embedding onto itself -- the point here is the
+    # full pipeline (shape plumbing + fused pools) stays numerically exact
+    fused_model = dataclasses.replace(folded_model, fuse_pool=True)
+    folded_vars = fold_batchnorm(
+        jax.tree_util.tree_map(np.asarray, variables), input_resolution=64
+    )
+    for m in (folded_model, fused_model):
+        got = m.apply(folded_vars, img, word, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_fold_pos_embed_resizes_to_inference_grid():
+    """When the inference resolution differs from the trained one, the
+    pre-folded embedding must equal the model's own runtime bicubic resize
+    (/root/reference/model/clip.py:110-144 semantics)."""
+    from cris_tpu.checkpoint.fold import _fold_pos_embed
+    from cris_tpu.ops.resize import resize2d
+
+    rng = np.random.RandomState(2)
+    pe = rng.randn(7 * 7 + 1, 24).astype(np.float32)
+    folded = _fold_pos_embed(pe, 13)
+    assert folded.shape == (13 * 13 + 1, 24)
+    np.testing.assert_array_equal(folded[0], pe[0])  # CLS row untouched
+    runtime = resize2d(
+        jnp.asarray(pe[1:].reshape(1, 7, 7, 24)), (13, 13), "bicubic", False
+    )
+    np.testing.assert_allclose(
+        folded[1:].reshape(13, 13, 24), np.asarray(runtime[0]),
+        rtol=1e-5, atol=1e-5,
+    )

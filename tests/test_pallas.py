@@ -110,3 +110,59 @@ def test_fused_attention_gradients_match_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
         )
+
+
+@pytest.mark.parametrize(
+    "b,h,s,t,d",
+    [
+        (2, 8, 676, 676, 64),   # decoder self-attention
+        (2, 8, 676, 17, 64),    # decoder cross-attention
+        (2, 32, 169, 169, 64),  # attnpool
+        (1, 4, 100, 37, 32),    # odd sizes exercise padding
+    ],
+)
+def test_fused_attention_bse_matches_xla(b, h, s, t, d):
+    """The transpose-free (B, S, E) kernel against the XLA reference."""
+    from cris_tpu.ops.pallas.attention import fused_attention_bse
+
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(b, s, h * d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+    kv_valid = np.ones((b, t), bool)
+    kv_valid[0, t // 2:] = False
+    kv_valid = jnp.asarray(kv_valid)
+
+    ref = _xla_reference(q, k, v, h, kv_valid)
+    got = fused_attention_bse(q, k, v, h, kv_valid, None, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_bse_gradients_match_xla():
+    from cris_tpu.ops.pallas.attention import fused_attention_bse
+
+    rng = np.random.RandomState(8)
+    b, h, s, t, d = 1, 2, 40, 20, 32
+    q = jnp.asarray(rng.randn(b, s, h * d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+    kv_valid = np.ones((b, t), bool)
+    kv_valid[0, 15:] = False
+    kv_valid = jnp.asarray(kv_valid)
+
+    def pallas_loss(q, k, v):
+        return fused_attention_bse(q, k, v, h, kv_valid, None, True).sum()
+
+    def xla_loss(q, k, v):
+        qh, kh, vh = (split_heads(x, h) for x in (q, k, v))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * (d**-0.5)
+        logits = jnp.where(kv_valid[:, None, None, :], logits, -1e30)
+        p = jax.nn.softmax(logits, -1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, vh).sum()
+
+    gp = jax.grad(pallas_loss, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(xla_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)

@@ -86,8 +86,12 @@ def load_variables(cfg, ckpt: str):
 
         from cris_tpu.checkpoint import fold_batchnorm
 
-        model = dataclasses.replace(model, fold_bn=True, scan_unroll=0)
-        variables = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+        model = dataclasses.replace(model, fold_bn=True, scan_unroll=0,
+                                    pos_grid=cfg.input_size // 32)
+        variables = fold_batchnorm(
+            jax.tree_util.tree_map(np.asarray, variables),
+            input_resolution=cfg.input_size,
+        )
     return model, variables
 
 
