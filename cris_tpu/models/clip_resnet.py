@@ -12,6 +12,8 @@ Behavioral spec from /root/reference/model/clip.py:10-223:
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -159,6 +161,27 @@ class AttentionPool2d(nn.Module):
         return nn.relu(out.reshape(b, h, w, self.output_dim) + res)
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-compatible parameters (kernel [+ bias]) without an
+    apply path -- used to feed the fused Pallas stem kernel while keeping
+    the parameter tree identical to the nn.Conv stem."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32
+            )
+        return kernel, bias
+
+
 class ModifiedResNet(nn.Module):
     layers: Sequence[int]
     output_dim: int
@@ -196,14 +219,47 @@ class ModifiedResNet(nn.Module):
                 return lambda x, train: x
             return BatchNorm(features, dtype=self.dtype, name=name)
 
-        x = x.astype(self.dtype or x.dtype)
-        x = nn.relu(stem_bn(w // 2, "bn1")(stem_conv(w // 2, 2, "conv1")(x), train))
-        x = nn.relu(stem_bn(w // 2, "bn2")(stem_conv(w // 2, 1, "conv2")(x), train))
-        x = nn.relu(stem_bn(w, "bn3")(stem_conv(w, 1, "conv3")(x), train))
-        if not fuse:
-            # unfused: the stem's anti-aliasing pool runs standalone; fused,
-            # layer1_0's conv1/downsample absorb it (in_pool=2 below).
-            x = avg_pool2d(x, 2)
+        # Fused Pallas stem (eval / fold_bn): conv1-3 + relus + the
+        # anti-aliasing pool in one VMEM-resident kernel. MEASURED SLOWER
+        # than XLA on v5e (36 ms vs 7.9 ms for the b32 chain): the stem's
+        # 12/32/64-channel matmuls waste 4-16x of the MXU's 128-lane K/N
+        # tiles and the fine (B, 26-row) grid multiplies per-matmul
+        # overheads -- low-channel spatial convs just don't map to the
+        # MXU. Kept behind CRIS_PALLAS_STEM=1 as an experimental path /
+        # documented negative result (see ops/pallas/stem.py).
+        use_pallas_stem = False
+        if self.fold_bn and fuse and os.environ.get("CRIS_PALLAS_STEM") == "1":
+            from ..ops.pallas import pallas_enabled, pallas_interpret
+            from ..ops.pallas.stem import ROWS as _STEM_ROWS
+
+            use_pallas_stem = (
+                pallas_enabled()
+                and x.shape[1] % (2 * _STEM_ROWS) == 0
+                and x.shape[2] % (2 * _STEM_ROWS) == 0
+            )
+
+        if use_pallas_stem:
+            from ..ops.pallas.stem import fused_stem_pool
+
+            k1, b1 = _ConvParams((3, 3, 3, w // 2), name="conv1")()
+            k2, b2 = _ConvParams((3, 3, w // 2, w // 2), name="conv2")()
+            k3, b3 = _ConvParams((3, 3, w // 2, w), name="conv3")()
+            dt = self.dtype or x.dtype
+            x = fused_stem_pool(
+                x, k1.astype(dt), b1, k2.astype(dt), b2, k3.astype(dt), b3,
+                interpret=pallas_interpret(),
+            )
+            stem_pooled = True
+        else:
+            x = x.astype(self.dtype or x.dtype)
+            x = nn.relu(stem_bn(w // 2, "bn1")(stem_conv(w // 2, 2, "conv1")(x), train))
+            x = nn.relu(stem_bn(w // 2, "bn2")(stem_conv(w // 2, 1, "conv2")(x), train))
+            x = nn.relu(stem_bn(w, "bn3")(stem_conv(w, 1, "conv3")(x), train))
+            stem_pooled = False
+            if not fuse:
+                # unfused: the stem's anti-aliasing pool runs standalone;
+                # fused, layer1_0's conv1/downsample absorb it (in_pool=2).
+                x = avg_pool2d(x, 2)
 
         # static_argnums: 0=self(module), 1=x, 2=train
         block_cls = (
@@ -244,7 +300,8 @@ class ModifiedResNet(nn.Module):
             x, _ = scan(tail, x, None)
             return x
 
-        x = stage(x, w, self.layers[0], 1, 1, in_pool=2 if fuse else 1)
+        x = stage(x, w, self.layers[0], 1, 1,
+                  in_pool=1 if (stem_pooled or not fuse) else 2)
         x2 = stage(x, w * 2, self.layers[1], 2, 2)
         x3 = stage(x2, w * 4, self.layers[2], 2, 3)
         x4 = stage(x3, w * 8, self.layers[3], 2, 4)

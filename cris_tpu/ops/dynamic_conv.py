@@ -32,13 +32,20 @@ def dynamic_conv2d(
     pad = k // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
 
+    # Contract channels FIRST: one batched (HW, C) @ (C, K*K) matmul
+    # produces every tap's plane in a single read of x. The previous
+    # shift-then-contract form re-read the full (B, H, W, C) map once per
+    # tap (9 HBM passes, profiled ~2.1 ms at the Projector's 32x104x104x256
+    # on v5e); here the K*K shift-accumulate runs over the tiny
+    # (B, H, W, K*K) tap planes instead. Identical math (reassociation
+    # only): out[h,w] = sum_t z[h+dy, w+dx, t], z = xp . W_t.
+    taps = weight.reshape(b, c, k * k)  # (B, C, KK), tap index t = dy*k+dx
+    z = jnp.einsum(
+        "bhwc,bct->bhwt", xp, taps, preferred_element_type=jnp.float32
+    )
     out = jnp.zeros((b, h, w), dtype=jnp.float32)
     for dy in range(k):
         for dx in range(k):
-            window = xp[:, dy : dy + h, dx : dx + w, :]
-            tap = weight[:, :, dy, dx]  # (B, C)
-            out = out + jnp.einsum(
-                "bhwc,bc->bhw", window, tap, preferred_element_type=jnp.float32
-            )
+            out = out + z[:, dy : dy + h, dx : dx + w, dy * k + dx]
     out = out + bias.astype(jnp.float32)[:, None, None]
     return out[..., None].astype(x.dtype)

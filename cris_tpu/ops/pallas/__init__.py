@@ -11,9 +11,10 @@ from functools import lru_cache
 
 from .attention import fused_attention, fused_attention_bse
 from .fused_matmul import conv1x1_fused, fused_matmul
+from .stem import fused_stem_pool
 
 __all__ = ["fused_attention", "fused_attention_bse",
-           "conv1x1_fused", "fused_matmul",
+           "conv1x1_fused", "fused_matmul", "fused_stem_pool",
            "pallas_enabled", "pallas_interpret", "pallas_mode"]
 
 

@@ -166,3 +166,60 @@ def test_fused_attention_bse_gradients_match_xla():
     for a, b_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_stem_pool_matches_xla_chain():
+    """The fused stem kernel (s2d-embedded stride-2 conv1, column-
+    catenated taps, in-kernel pool) vs the plain conv chain."""
+    from cris_tpu.ops.pallas.stem import fused_stem_pool
+    from cris_tpu.ops.resize import avg_pool2d
+
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(2, 64, 64, 3).astype(np.float32))
+    k1 = jnp.asarray(rs.randn(3, 3, 3, 8).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rs.randn(8).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rs.randn(3, 3, 8, 8).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rs.randn(8).astype(np.float32) * 0.1)
+    k3 = jnp.asarray(rs.randn(3, 3, 8, 16).astype(np.float32) * 0.2)
+    b3 = jnp.asarray(rs.randn(16).astype(np.float32) * 0.1)
+
+    def conv(x, k, b, s=1):
+        y = jax.lax.conv_general_dilated(
+            x, k, (s, s), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.nn.relu(y + b)
+
+    ref = avg_pool2d(conv(conv(conv(img, k1, b1, 2), k2, b2), k3, b3), 2)
+    got = fused_stem_pool(img, k1, b1, k2, b2, k3, b3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_with_pallas_stem_interpret(monkeypatch):
+    """fold_bn + fuse_pool eval forward through the interpret-mode Pallas
+    stem must match the reference-order f32 forward."""
+    import dataclasses
+
+    import cris_tpu.ops.pallas as pallas_pkg
+    from conftest import tiny_cris
+    from cris_tpu.checkpoint import fold_batchnorm
+
+    monkeypatch.setattr(pallas_pkg, "pallas_mode", lambda: "interpret")
+    # the Pallas stem is an experimental opt-in (measured slower than XLA
+    # on v5e); exercise its model integration under interpret mode anyway
+    monkeypatch.setenv("CRIS_PALLAS_STEM", "1")
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rs = np.random.RandomState(1)
+    img = jnp.asarray(rs.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rs.randint(1, 49000, (2, 17)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, word, train=False)
+    ref = model.apply(variables, img, word, train=False)
+
+    fused = dataclasses.replace(model, fold_bn=True, fuse_pool=True,
+                                pos_grid=64 // 32)
+    fv = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables),
+                        input_resolution=64)
+    got = fused.apply(fv, img, word, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
