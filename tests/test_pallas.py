@@ -223,3 +223,103 @@ def test_full_model_with_pallas_stem_interpret(monkeypatch):
     got = fused.apply(fv, img, word, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def _interpret_prng_ok():
+    """pltpu PRNG support in interpret mode varies by JAX version."""
+    try:
+        from cris_tpu.ops.pallas.attention_train import (
+            fused_attention_bse_dropout,
+        )
+
+        q = jnp.zeros((1, 8, 128))
+        fused_attention_bse_dropout(q, q, q, 2, None, 0.5,
+                                    jnp.int32(0), True)
+        return True
+    except Exception:
+        return False
+
+
+def test_fused_attention_dropout_rate0_matches_plain():
+    """rate=0 must reproduce the deterministic BSE kernel exactly."""
+    from cris_tpu.ops.pallas.attention import fused_attention_bse
+    from cris_tpu.ops.pallas.attention_train import (
+        fused_attention_bse_dropout,
+    )
+
+    if not _interpret_prng_ok():
+        pytest.skip("interpret mode lacks pltpu PRNG support")
+    rng = np.random.RandomState(11)
+    b, h, s, t, d = 2, 4, 40, 20, 64
+    q = jnp.asarray(rng.randn(b, s, h * d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+    kv_valid = jnp.asarray(np.arange(t)[None, :] < 15).repeat(b, 0)
+
+    a = fused_attention_bse(q, k, v, h, kv_valid, None, True)
+    bb = fused_attention_bse_dropout(q, k, v, h, kv_valid, 0.0,
+                                     jnp.int32(42), True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_dropout_statistics_and_determinism():
+    from cris_tpu.ops.pallas.attention_train import (
+        fused_attention_bse_dropout,
+    )
+
+    if not _interpret_prng_ok():
+        pytest.skip("interpret mode lacks pltpu PRNG support")
+    b, h, s, t, d = 1, 2, 64, 64, 64
+    rate = 0.5
+    # uniform attention (q=0) + one-hot V columns makes the output expose
+    # the dropped-weight matrix row sums: E[out] == softmax mean
+    q = jnp.zeros((b, s, h * d))
+    k = jnp.zeros((b, t, h * d))
+    v = jnp.ones((b, t, h * d))
+    o1 = fused_attention_bse_dropout(q, k, v, h, None, rate,
+                                     jnp.int32(7), True)
+    o2 = fused_attention_bse_dropout(q, k, v, h, None, rate,
+                                     jnp.int32(7), True)
+    o3 = fused_attention_bse_dropout(q, k, v, h, None, rate,
+                                     jnp.int32(8), True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 0
+    # inverted dropout of uniform weights: mean ~ 1, per-row variance > 0
+    m = float(np.asarray(o1).mean())
+    assert 0.9 < m < 1.1, m
+
+
+def test_fused_attention_dropout_gradients_selfconsistent():
+    """The backward regenerates the same mask as the forward: finite
+    differences through the fixed-seed kernel must match the custom VJP."""
+    from cris_tpu.ops.pallas.attention_train import (
+        fused_attention_bse_dropout,
+    )
+
+    if not _interpret_prng_ok():
+        pytest.skip("interpret mode lacks pltpu PRNG support")
+    rng = np.random.RandomState(12)
+    b, h, s, t, d = 1, 2, 8, 8, 64
+    q = jnp.asarray(rng.randn(b, s, h * d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+    seed = jnp.int32(3)
+
+    def loss(q, k, v):
+        out = fused_attention_bse_dropout(q, k, v, h, None, 0.3, seed, True)
+        return (out * out).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    eps = 1e-3
+    for argi, (name, x) in enumerate((("q", q), ("k", k), ("v", v))):
+        idxs = [(0, 1, 2), (0, 5, 11), (0, 7, 15)]
+        for idx in idxs:
+            dx = np.zeros(x.shape, np.float32)
+            dx[idx] = eps
+            args = [q, k, v]
+            args_p = list(args); args_p[argi] = x + dx
+            args_m = list(args); args_m[argi] = x - dx
+            fd = (loss(*args_p) - loss(*args_m)) / (2 * eps)
+            got = float(np.asarray(g[argi])[idx])
+            np.testing.assert_allclose(got, float(fd), rtol=5e-2, atol=5e-2)
