@@ -214,6 +214,15 @@ def measure(timed, budget_s, trials=3):
     _dbg(f"compile short: {t_short_best:.2f}s")
     t_long_best = timed(N_LONG, 20_000)
     _dbg(f"compile long: {t_long_best:.2f}s")
+    # warm re-run: <1 s when healthy, and it turns the deadline-degraded
+    # fallback into a sane amortized rate instead of one contaminated by
+    # compile time (a relay stall during warmup can eat the whole budget
+    # before this point)
+    try:
+        t_long_best = min(t_long_best, timed(N_LONG, 25_000))
+        _dbg(f"warm long: {t_long_best:.2f}s")
+    except Exception:  # noqa: BLE001 -- the fallback must stay available
+        pass
 
     # the relay can stall for seconds; retry until the marginal step time is
     # physically sane (between the bf16 roofline and a stalled bound)

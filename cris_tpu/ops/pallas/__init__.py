@@ -11,10 +11,11 @@ from functools import lru_cache
 
 from .attention import fused_attention, fused_attention_bse
 from .fused_matmul import conv1x1_fused, fused_matmul
+from .layernorm import layer_norm
 from .stem import fused_stem_pool
 
 __all__ = ["fused_attention", "fused_attention_bse",
-           "conv1x1_fused", "fused_matmul", "fused_stem_pool",
+           "conv1x1_fused", "fused_matmul", "fused_stem_pool", "layer_norm",
            "pallas_enabled", "pallas_interpret", "pallas_mode"]
 
 

@@ -323,3 +323,44 @@ def test_fused_attention_dropout_gradients_selfconsistent():
             fd = (loss(*args_p) - loss(*args_m)) / (2 * eps)
             got = float(np.asarray(g[argi])[idx])
             np.testing.assert_allclose(got, float(fd), rtol=5e-2, atol=5e-2)
+
+
+def test_layer_norm_kernel_matches_reference():
+    from cris_tpu.ops.pallas.layernorm import layer_norm
+
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(3, 40, 256).astype(np.float32) * 2 + 1)
+    scale = jnp.asarray(rng.randn(256).astype(np.float32))
+    bias = jnp.asarray(rng.randn(256).astype(np.float32))
+
+    def ref(x, scale, bias):
+        m = x.mean(-1, keepdims=True)
+        v = jnp.square(x - m).mean(-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-5) * scale + bias
+
+    got = layer_norm(x, scale, bias, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x, scale, bias)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_layer_norm_kernel_gradients_match_reference():
+    from cris_tpu.ops.pallas.layernorm import layer_norm
+
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.randn(2, 10, 128).astype(np.float32))
+    scale = jnp.asarray(1 + 0.1 * rng.randn(128).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.randn(128).astype(np.float32))
+    ct = jnp.asarray(rng.randn(2, 10, 128).astype(np.float32))
+
+    def ref(x, scale, bias):
+        m = x.mean(-1, keepdims=True)
+        v = jnp.square(x - m).mean(-1, keepdims=True)
+        return (x - m) * jax.lax.rsqrt(v + 1e-5) * scale + bias
+
+    gp = jax.grad(lambda *a: (layer_norm(*a, 1e-5, True) * ct).sum(),
+                  argnums=(0, 1, 2))(x, scale, bias)
+    gx = jax.grad(lambda *a: (ref(*a) * ct).sum(), argnums=(0, 1, 2))(
+        x, scale, bias)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
