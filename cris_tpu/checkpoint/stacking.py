@@ -12,9 +12,11 @@ finishes with this pass:
 - ``layer<s>_{1..n-1}``   -> one ``layer<s>_tail`` subtree; ``layer<s>_0``
   (the stride/downsample block, structurally different) stays standalone.
 
-Only these known bases are touched -- name-pattern matching alone would
+Only these known bases are touched, and only under their known parent
+modules (``transformer`` for resblocks, ``decoder`` for layers,
+``visual`` for resnet stage tails) -- name-pattern matching alone would
 misfire on e.g. the neck's ``coordconv_0`` / ``coordconv_1``, which are
-genuinely different modules.
+genuinely different modules, or on a future subtree reusing the names.
 """
 
 from __future__ import annotations
@@ -50,11 +52,22 @@ def _unstack_tree(tree, n):
     return [np.asarray(tree)[i] for i in range(n)]
 
 
-def stack_scanned(tree: Dict[str, Any]) -> Dict[str, Any]:
-    """Recursively convert per-layer families to stacked scan layout."""
+# which stacked families may appear under which parent module name;
+# anchoring to the parent keeps an unrelated future 'layers_0' sibling
+# family (e.g. in a new head) from being silently stacked
+_SCAN_PARENTS = {"resblocks": "transformer", "layers": "decoder"}
+_STAGE_PARENT = "visual"
+
+
+def stack_scanned(tree: Dict[str, Any], _parent: str = "") -> Dict[str, Any]:
+    """Recursively convert per-layer families to stacked scan layout.
+
+    The root call (empty ``_parent``) is a wildcard -- callers may pass a
+    bare decoder/transformer subtree directly; nested families only stack
+    under their known parent module."""
     if not isinstance(tree, dict):
         return tree
-    out = {k: stack_scanned(v) for k, v in tree.items()}
+    out = {k: stack_scanned(v, _parent=k) for k, v in tree.items()}
 
     families: Dict[str, Dict[int, str]] = {}
     for k in list(out):
@@ -64,10 +77,13 @@ def stack_scanned(tree: Dict[str, Any]) -> Dict[str, Any]:
 
     for base, members in families.items():
         idxs = sorted(members)
-        if base in ("resblocks", "layers") and idxs == list(range(len(idxs))):
+        if (base in _SCAN_PARENTS
+                and _parent in ("", _SCAN_PARENTS[base])
+                and idxs == list(range(len(idxs)))):
             stacked = _stack_trees([out.pop(members[i]) for i in idxs])
             out[base] = stacked
-        elif _RESNET_STAGE.match(base) and len(idxs) > 1:
+        elif (_RESNET_STAGE.match(base) and _parent in ("", _STAGE_PARENT)
+              and len(idxs) > 1):
             tail = idxs[1:]
             if tail == list(range(1, len(idxs))):
                 stacked = _stack_trees([out.pop(members[i]) for i in tail])

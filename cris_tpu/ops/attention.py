@@ -64,7 +64,10 @@ def dot_product_attention(
             fused_attention_bse, pallas_enabled, pallas_interpret,
         )
 
-        if pallas_enabled() and k.shape[1] <= 2048:
+        # q-length guard alongside the kv one: the kernel allocates
+        # (block_q, t_pad) f32 logits per program; an unexpectedly long
+        # query site should fall back to XLA rather than blow scoped VMEM
+        if pallas_enabled() and k.shape[1] <= 2048 and q.shape[1] <= 2048:
             kv_valid = None
             if key_padding_mask is not None:
                 kv_valid = ~key_padding_mask
@@ -87,7 +90,7 @@ def dot_product_attention(
             fused_attention_bse_dropout, supports_shape,
         )
 
-        if (pallas_enabled() and k.shape[1] <= 2048
+        if (pallas_enabled() and k.shape[1] <= 2048 and q.shape[1] <= 2048
                 and supports_shape(num_heads, head_dim)):
             kv_valid = None
             if key_padding_mask is not None:

@@ -177,7 +177,14 @@ def fused_attention_bse(
     The (B, S, E) -> (B, H, S, D) transposes around the BHSD kernel are
     real HBM passes (~1 ms each at the decoder's 32x676x512 on v5e); this
     variant blocks the grid over (batch, q-block) only and slices heads
-    on-chip. Returns (B, S, E)."""
+    on-chip. Returns (B, S, E).
+
+    Degenerate-case semantics: if a row's kv_valid is ALL False, the
+    max-subtracted softmax over uniform NEG_INF logits is uniform, so the
+    kernel returns mean(V) for that row where the XLA fallback's softmax
+    would produce NaN. All-masked rows are undefined behavior for this op
+    (the model never produces them: CRIS pad masks always keep SOT/EOT
+    valid); callers must not rely on either value."""
     return _fused_attention_bse_impl(q, k, v, num_heads, kv_valid, block_q,
                                      interpret)
 

@@ -24,6 +24,7 @@ from cris_tpu.utils.logging import log_exceptions, logger
 
 @log_exceptions
 def main():
+    cli.setup_compilation_cache()
     cfg = cli.get_parser("CRIS-TPU evaluation")
     cfg.output_dir = os.path.join(cfg.output_folder, cfg.exp_name)
     if cfg.get("visualize"):

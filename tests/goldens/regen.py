@@ -1,6 +1,10 @@
 """Regenerate golden files. Run deliberately after an INTENTIONAL change
 to init/arch numerics (e.g. the nn.scan stacking changed how per-layer
-init RNGs fold), never to paper over an unexplained diff:
+init RNGs fold), never to paper over an unexplained diff. POLICY: a regen
+commit must state the cause of the shift and land only with the torch
+parity suite (test_model_parity / test_train_parity) green in the same
+commit -- the goldens' value is exactly their independence from that
+suite, so regenerating them "because the numbers moved" destroys it:
 
     cd tests && JAX_PLATFORMS=cpu python goldens/regen.py
 
@@ -8,8 +12,12 @@ History of deliberate regens:
 - round 2: nn.scan over resblocks/decoder layers/resnet stage tails
   changed the *init* rng stream (split per scan step); trained-weight
   parity is covered by test_model_parity / test_train_parity.
+- round 3: goldens extended to the PRODUCTION paths (fold_bn eval
+  forward, one train step incl. Adam update digest) per VERDICT r2
+  Weak #5 / task 8; tiny_forward.npz inputs and values unchanged.
 """
 
+import dataclasses
 import os
 import sys
 
@@ -20,27 +28,95 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from conftest import tiny_cris  # noqa: E402
+from conftest import tiny_cris, tiny_train_cfg  # noqa: E402
+
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "tiny_forward.npz")
+def _inputs():
+    out = os.path.join(HERE, "tiny_forward.npz")
     if os.path.exists(out):  # keep the original fixed inputs
         d = np.load(out)
-        img, word = d["img"], d["word"]
-    else:
-        rng = np.random.RandomState(7)
-        img = rng.randn(2, 64, 64, 3).astype(np.float32)
-        word = rng.randint(1, 100, (2, 17)).astype(np.int32)
+        return d["img"], d["word"]
+    rng = np.random.RandomState(7)
+    img = rng.randn(2, 64, 64, 3).astype(np.float32)
+    word = rng.randint(1, 100, (2, 17)).astype(np.int32)
+    return img, word
 
+
+def regen_forward(img, word):
     model = tiny_cris(dropout=0.0, dtype=None)
     variables = model.init(
         jax.random.PRNGKey(42), jnp.asarray(img), jnp.asarray(word)
     )
     pred = np.asarray(model.apply(variables, jnp.asarray(img), jnp.asarray(word)))
-    np.savez(out, img=img, word=word, pred=pred)
-    print(f"wrote {out}: pred {pred.shape} mean={pred.mean():.6f}")
+    np.savez(os.path.join(HERE, "tiny_forward.npz"),
+             img=img, word=word, pred=pred)
+    print(f"tiny_forward: pred {pred.shape} mean={pred.mean():.6f}")
+    return variables
+
+
+def regen_fold_eval(img, word, variables):
+    """Production eval path: BN folded into conv weights + pre-resized
+    attnpool pos embed, fold_bn=True apply (what test.py / bench.py run)."""
+    from cris_tpu.checkpoint import fold_batchnorm
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    folded_model = dataclasses.replace(model, fold_bn=True, pos_grid=64 // 32)
+    folded = fold_batchnorm(
+        jax.tree_util.tree_map(np.asarray, variables), input_resolution=64
+    )
+    pred = np.asarray(
+        folded_model.apply(folded, jnp.asarray(img), jnp.asarray(word))
+    )
+    np.savez(os.path.join(HERE, "tiny_fold_eval.npz"), pred=pred)
+    print(f"tiny_fold_eval: pred {pred.shape} mean={pred.mean():.6f}")
+
+
+def regen_train_step(img, word):
+    """One full train step (fwd + bwd + two-group Adam + BN stats): loss,
+    iou, and a per-leaf-mean digest of the updated params in sorted path
+    order -- catches init, grad, and optimizer regressions."""
+    from cris_tpu.engine import create_train_state, make_optimizer, train_step
+
+    rng = np.random.RandomState(11)
+    mask = (rng.rand(*img.shape[:3], 1) > 0.5).astype(np.float32)
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    variables = model.init(
+        jax.random.PRNGKey(42), jnp.asarray(img), jnp.asarray(word),
+        jnp.asarray(mask), train=False,
+    )
+    state = create_train_state(
+        model, variables, make_optimizer(tiny_train_cfg(), steps_per_epoch=2)
+    )
+    state, metrics = jax.jit(train_step)(
+        state, {"image": jnp.asarray(img), "word": jnp.asarray(word),
+                "mask": jnp.asarray(mask)},
+        jax.random.PRNGKey(1),
+    )
+    leaves = [
+        (jax.tree_util.keystr(path), np.asarray(leaf))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(state.params)
+    ]
+    leaves.sort(key=lambda kv: kv[0])
+    digest = np.array([v.astype(np.float64).mean() for _, v in leaves],
+                      np.float64)
+    paths = np.array([k for k, _ in leaves])
+    np.savez(
+        os.path.join(HERE, "tiny_train_step.npz"),
+        mask=mask, loss=np.float64(metrics["loss"]),
+        iou=np.float64(metrics["iou"]), digest=digest, paths=paths,
+    )
+    print(f"tiny_train_step: loss={float(metrics['loss']):.6f} "
+          f"iou={float(metrics['iou']):.4f} digest[{len(digest)}]")
+
+
+def main():
+    img, word = _inputs()
+    variables = regen_forward(img, word)
+    regen_fold_eval(img, word, variables)
+    regen_train_step(img, word)
 
 
 if __name__ == "__main__":

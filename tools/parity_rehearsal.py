@@ -91,29 +91,38 @@ class _Holder:  # replaced below once torch is importable
     pass
 
 
-def make_fake_rn50_archive(path: str, seed: int = 0) -> None:
-    """Write a TorchScript archive whose state_dict has exactly the RN50
-    CLIP keys/shapes (random weights). torch.jit.script of the reference
-    CLIP itself fails (non-scriptable stem closure, clip.py:209-215), so a
-    scriptable holder-module tree carries the tensors instead; only
-    .state_dict() is consumed downstream (segmenter.py:14-16)."""
+# released-archive architecture facts the shape-inferring factory
+# (/root/reference/model/clip.py:503-554) reads back out of the state_dict
+CLIP_ARCHS = {
+    "RN50": dict(embed_dim=1024, vision_layers=(3, 4, 6, 3)),
+    "RN101": dict(embed_dim=512, vision_layers=(3, 4, 23, 3)),
+}
+
+
+def make_fake_clip_archive(path: str, arch: str = "RN50", word_len: int = 17,
+                           seed: int = 0) -> None:
+    """Write a TorchScript archive whose state_dict has exactly the RN50 /
+    RN101 CLIP keys/shapes (random weights). torch.jit.script of the
+    reference CLIP itself fails (non-scriptable stem closure,
+    clip.py:209-215), so a scriptable holder-module tree carries the
+    tensors instead; only .state_dict() is consumed downstream
+    (segmenter.py:14-16)."""
     import torch
 
     from model.clip import CLIP  # reference
 
     torch.manual_seed(seed)
     ref_clip = CLIP(
-        embed_dim=1024,
         image_resolution=224,
-        vision_layers=(3, 4, 6, 3),
         vision_width=64,
         vision_patch_size=None,
         context_length=77,
-        txt_length=17,
+        txt_length=word_len,
         vocab_size=49408,
         transformer_width=512,
         transformer_heads=8,
         transformer_layers=12,
+        **CLIP_ARCHS[arch],
     ).float()
     # nudge BN running stats off their (0, 1) init so folding is non-trivial
     with torch.no_grad():
@@ -336,7 +345,11 @@ def main(argv=None):
                     help="max |ours - reference| in IoU percentage points")
     ap.add_argument("--out", default=None, help="work dir (default: tmp)")
     ap.add_argument("--config", default=os.path.join(
-        REPO_ROOT, "config/refcoco/cris_r50.yaml"))
+        REPO_ROOT, "config/refcoco/cris_r50.yaml"),
+        help="any of the 8 presets; the backbone (RN50/RN101) and word_len "
+        "(17 refcoco / 22 refcocog) are taken from it, so R101's "
+        "fpn_in=(512,1024,512) shape path and G-Ref's longer causal mask "
+        "are rehearsed by just pointing here at those YAMLs")
     args = ap.parse_args(argv)
 
     out_dir = args.out or tempfile.mkdtemp(prefix="cris_rehearsal_")
@@ -349,12 +362,13 @@ def main(argv=None):
     from cris_tpu.utils.config import load_cfg_from_cfg_file
 
     cfg = load_cfg_from_cfg_file(args.config)
+    arch = "RN101" if "r101" in os.path.basename(args.config) else "RN50"
 
-    archive = os.path.join(out_dir, "fake_RN50.pt")
+    archive = os.path.join(out_dir, f"fake_{arch}_wl{cfg.word_len}.pt")
     if not os.path.isfile(archive):
-        print("=> fabricating RN50-architecture TorchScript archive",
-              flush=True)
-        make_fake_rn50_archive(archive)
+        print(f"=> fabricating {arch}-architecture TorchScript archive "
+              f"(word_len {cfg.word_len})", flush=True)
+        make_fake_clip_archive(archive, arch, cfg.word_len)
     cfg.clip_pretrain = archive
 
     backend = SyntheticBackend(args.images, args.seed)

@@ -40,6 +40,7 @@ from cris_tpu.utils.logging import log_exceptions, logger
 @log_exceptions
 def main():
     cli.maybe_init_distributed()
+    cli.setup_compilation_cache()
     cfg = cli.get_parser("CRIS-TPU training")
     cfg.manual_seed = init_random_seed(cfg.get("manual_seed"))
     cfg.output_dir = os.path.join(cfg.output_folder, cfg.exp_name)
