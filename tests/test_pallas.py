@@ -364,3 +364,52 @@ def test_layer_norm_kernel_gradients_match_reference():
     for a, b_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "h,w,c,mid,row_splits",
+    [
+        (13, 13, 2048, 512, 1),  # layer4 tail
+        (26, 26, 1024, 256, 1),  # layer3 tail
+        (52, 52, 512, 128, 2),   # layer2 tail, banded
+        (52, 52, 512, 128, 4),
+    ],
+)
+def test_fused_bottleneck_matches_xla(h, w, c, mid, row_splits):
+    from cris_tpu.ops.pallas.bottleneck import fused_bottleneck, supports_shape
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, h, w, c).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(c, mid).astype(np.float32) * 0.02)
+    b1 = jnp.asarray(rng.randn(mid).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(9, mid, mid).astype(np.float32) * 0.02)
+    b2 = jnp.asarray(rng.randn(mid).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(rng.randn(mid, c).astype(np.float32) * 0.02)
+    b3 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+
+    def ref():
+        h1 = jax.nn.relu(jnp.einsum("bhwc,cm->bhwm", x, w1) + b1)
+        k = w2.reshape(3, 3, mid, mid)
+        h2 = jax.lax.conv_general_dilated(
+            h1, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h2 = jax.nn.relu(h2 + b2)
+        h3 = jnp.einsum("bhwm,mc->bhwc", h2, w3) + b3
+        return jax.nn.relu(h3 + x)
+
+    assert supports_shape(h, w, c, mid, c)
+    got = fused_bottleneck(x, w1, b1, w2, b2, w3, b3,
+                           row_splits=row_splits, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref()),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bottleneck_rejects_bad_row_splits():
+    from cris_tpu.ops.pallas.bottleneck import fused_bottleneck
+
+    x = jnp.zeros((1, 13, 13, 256), jnp.float32)
+    w1 = jnp.zeros((256, 128)); b1 = jnp.zeros(128)
+    w2 = jnp.zeros((9, 128, 128)); b2 = jnp.zeros(128)
+    w3 = jnp.zeros((128, 256)); b3 = jnp.zeros(256)
+    with pytest.raises(ValueError):
+        fused_bottleneck(x, w1, b1, w2, b2, w3, b3, row_splits=2,
+                         interpret=True)

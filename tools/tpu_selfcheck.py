@@ -150,9 +150,14 @@ def main():
         # so g must be constant across the within-head feature dim
         gh = g.reshape(1, t2, h, d)
         assert np.abs(gh - gh.mean(axis=3, keepdims=True)).max() < 1e-6
-        # and the implied keep-count must be integral
+        # and the implied keep-count must be integral -- up to the bf16
+        # rounding of the scaled weights before the MXU matmul (the bwd
+        # casts p*inv_keep to bf16, e.g. 1/0.7 -> 1.4296875 == a uniform
+        # +7.8e-4 relative factor; the XLA fallback rounds its scaled
+        # weights to bf16 identically). counts <= s2=128, so bf16-scale
+        # error <= ~0.15 absolute; 0.25 still separates integers cleanly.
         counts = gh[..., 0] * (1.0 - rate) * t2
-        np.testing.assert_allclose(counts, np.round(counts), atol=1e-3)
+        np.testing.assert_allclose(counts, np.round(counts), atol=0.25)
         # total keep fraction sane
         frac = counts.sum() / (t2 * s2 * h) / 1.0
         assert 0.6 < frac / (1 - rate) < 1.4, frac
