@@ -57,6 +57,42 @@ class Bottleneck(nn.Module):
         fuse = _auto_fuse_pool(self.fuse_pool, self.dtype)
         in_pool = self.in_pool if fuse else 1
 
+        # Experimental opt-in (CRIS_PALLAS_BOTTLENECK=1): BN-folded
+        # stride-1 identity blocks (every stage "tail" at >=128 mid
+        # channels) run as ONE Pallas program, all intermediates in VMEM.
+        # Measured SLOWER than XLA on v5e both standalone (1.49 vs 0.81
+        # ms/block at 52x52x512) and in-model (b32 eval 776 vs 787
+        # img/s): XLA already fuses the relu/residual epilogues into its
+        # conv fusions -- the round-2 profile's "13 ms of epilogue
+        # passes" was fusion-attribution artifact (see CLAUDE.md round-3
+        # findings). Kept as a complete, parity-tested kernel. Train
+        # keeps the XLA path regardless: train-mode BN needs cross-batch
+        # statistics that don't fit the per-image program model.
+        if (self.fold_bn and not train and self.stride == 1 and in_pool == 1
+                and inplanes == out_planes):
+            from ..ops.pallas import pallas_enabled, pallas_interpret
+            from ..ops.pallas.bottleneck import fused_bottleneck, supports_shape
+
+            _, fh, fw, _ = x.shape
+            dt = self.dtype or jnp.float32
+            if (pallas_enabled()
+                    and os.environ.get("CRIS_PALLAS_BOTTLENECK", "0") == "1"
+                    and supports_shape(
+                        fh, fw, inplanes, self.planes, out_planes, dt)):
+                w1, b1 = _ConvParams((1, 1, inplanes, self.planes),
+                                     name="conv1")()
+                w2, b2 = _ConvParams((3, 3, self.planes, self.planes),
+                                     name="conv2")()
+                w3, b3 = _ConvParams((1, 1, self.planes, out_planes),
+                                     name="conv3")()
+                return fused_bottleneck(
+                    x.astype(dt),
+                    w1.reshape(inplanes, self.planes).astype(dt), b1,
+                    w2.reshape(9, self.planes, self.planes).astype(dt), b2,
+                    w3.reshape(self.planes, out_planes).astype(dt), b3,
+                    interpret=pallas_interpret(),
+                )
+
         def conv(features, ksize, name, pool=1):
             if pool > 1:
                 return PooledConv1x1(

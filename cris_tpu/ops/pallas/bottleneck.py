@@ -21,24 +21,25 @@ Formulation notes (v5e, Mosaic):
   every supported stage (mid >= 128 -- layer1's mid=64 stays on XLA,
   where the round-2 stem experiment showed sub-128-lane matmuls waste
   the MXU).
-- the 3x3 conv runs as 9 shifted (M, mid) @ (mid, mid) matmuls over a
-  zero-margined flat buffer ("flat-buffer windows": strided slices lower
-  to unsupported gathers on Mosaic, contiguous dynamic slices at
-  arbitrary sublane offsets are fine). Row-wrap pollution at the left /
-  right image edge is cancelled by masking the shifted operand with a
-  (j + dx) in-range mask; top/bottom edges fall out of the zeroed
-  margins.
-- conv2's tap loop and conv3's output-chunk loop are lax.fori_loop's, NOT
-  unrolled Python loops: the Mosaic allocator does not reuse buffers
-  across unrolled iterations (round-2 attention-kernel lesson), while a
-  fori_loop body gets one allocation.
-- images too large for whole-image VMEM residency (layer2's 52x52x512)
-  are split into `row_splits` horizontal bands; the band's conv1 output
-  halo row is recomputed per band (1 extra row of 1x1 conv, ~2% FLOPs)
-  instead of DMA-ing overlapping blocks.
+- the 3x3 conv runs as 9 statically-shifted (M, mid) @ (mid, mid)
+  matmuls over a zero-margined flat VALUE buffer ("flat-buffer windows",
+  the stem-kernel pattern): Mosaic requires dynamic sublane ref offsets
+  to be provably 8-aligned, so shifted windows are taken as static
+  slices of an in-register value instead of dynamic ref reads. Row-wrap
+  pollution at the left/right image edge is cancelled by masking the
+  shifted operand with a (j + dx) in-range mask; top/bottom edges fall
+  out of the zeroed margins.
+- multi-band programs (row_splits > 1) recompute the conv1 halo rows
+  from an 8-aligned H8-row window of x (1 extra row of 1x1 conv, ~2%
+  FLOPs) instead of DMA-ing overlapping blocks; the window start is
+  `aligned_expr * predicate`, which Mosaic's divisibility analysis can
+  prove 8-aligned (a plain clamp/select cannot be).
+- row_splits == 1 programs (layer3/4: 26x26, 13x13) specialize at trace
+  time to whole-array ref reads -- no dynamic sublane offsets exist, so
+  the flat length need not be 8-aligned (169, 676).
 
 Eval-only: no custom VJP (fold_bn implies inference); the train path
-keeps the XLA formulation.
+keeps the XLA formulation (train-mode BN needs cross-batch statistics).
 """
 
 from __future__ import annotations
@@ -52,93 +53,124 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
-            mp_ref, m2_ref, *, M: int, W: int, chunk: int):
+            *, M: int, W: int, chunk: int, nr: int):
     """One (batch, row-band) program. Shapes:
     x_ref  (1, HW, C)   whole image, grid-invariant over bands
     w1_ref (C, mid)  w2_ref (9, mid, mid)  w3_ref (mid, C)
     b*_ref (1, mid/mid/C) f32
-    o_ref  (1, M, C)    this band
-    mp_ref (M + 2W + 2, mid) scratch: conv1 output with halo rows + zero
-           margin (flat index p+dy*W+dx lands at mp[W+1 + p+dy*W+dx])
-    m2_ref (M, mid) scratch: conv2 output
+    o_ref  (1, M, C)    this band (M = HW when nr == 1)
     """
     r = pl.program_id(1)
-    nr = pl.num_programs(1)
-    row0 = r * M
     dt = o_ref.dtype
-    mid = m2_ref.shape[-1]
+    mid = w1_ref.shape[-1]
 
     def conv1(xs):
         acc = jnp.dot(xs, w1_ref[:], preferred_element_type=jnp.float32)
         return jnp.maximum(acc + b1_ref[:], 0.0).astype(dt)
 
-    # conv1 over this band + one halo row each side; margins stay zero
-    # (image top/bottom zero padding)
-    mp_ref[:] = jnp.zeros(mp_ref.shape, dt)
-    mp_ref[pl.ds(W + 1, M), :] = conv1(x_ref[0, pl.ds(row0, M), :])
+    if nr == 1:
+        y1 = conv1(x_ref[0])
+        top = jnp.zeros((W, mid), dt)
+        bot = jnp.zeros((W, mid), dt)
+    else:
+        # M % 8 == 0 (enforced by _pick_row_splits), so r*M and the halo
+        # starts below are provably 8-aligned sublane offsets.
+        # M % 8 == 0 and h8 % 8 == 0, so every offset below is 8-aligned;
+        # Mosaic's divisibility analysis can't see that through the
+        # predicate multiply, so assert it with pl.multiple_of.
+        row0 = r * M
+        h8 = (W + 7) // 8 * 8
+        al = lambda i: pl.multiple_of(i, 8)
+        y1 = conv1(x_ref[0, pl.ds(al(row0), M), :])
+        up = (r > 0).astype(jnp.int32)
+        th = conv1(x_ref[0, pl.ds(al((row0 - h8) * up), h8), :])
+        top = jnp.where(r > 0, th[h8 - W:], 0)
+        dn = (r < pl.num_programs(1) - 1).astype(jnp.int32)
+        bh = conv1(x_ref[0, pl.ds(al((row0 + M) * dn), h8), :])
+        bot = jnp.where(r < pl.num_programs(1) - 1, bh[:W], 0)
 
-    @pl.when(r > 0)
-    def _():
-        start = jnp.maximum(row0 - W, 0)  # clamp keeps the slice legal
-        mp_ref[pl.ds(1, W), :] = conv1(x_ref[0, pl.ds(start, W), :])
+    # zero-margined flat window buffer: flat tap offset p + dy*W + dx
+    # lands at mp[W + 1 + p + dy*W + dx]
+    zpad = jnp.zeros((1, mid), dt)
+    mp = jnp.concatenate([zpad, top, y1, bot, zpad], axis=0)
 
-    @pl.when(r < nr - 1)
-    def _():
-        start = jnp.minimum(row0 + M, x_ref.shape[1] - W)
-        mp_ref[pl.ds(W + 1 + M, W), :] = conv1(x_ref[0, pl.ds(start, W), :])
-
-    # conv2: 9 shifted matmuls accumulated in f32. j = column-of-pixel,
-    # constant across bands because M is a multiple of W.
+    # conv2: 9 statically shifted matmuls accumulated in f32.
     j = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % W
-
-    def tap(t, acc):
-        dy = t // 3 - 1
-        dx = t % 3 - 1
-        src = mp_ref[pl.ds(W + 1 + dy * W + dx, M), :]
+    acc = jnp.broadcast_to(b2_ref[:], (M, mid)).astype(jnp.float32)
+    for t in range(9):
+        dy, dx = t // 3 - 1, t % 3 - 1
+        src = mp[W + 1 + dy * W + dx:W + 1 + dy * W + dx + M]
         valid = (j + dx >= 0) & (j + dx < W)  # cancel row-wrap pollution
         src = src * valid.astype(dt)
-        return acc + jnp.dot(src, w2_ref[t], preferred_element_type=jnp.float32)
-
-    acc0 = jnp.broadcast_to(b2_ref[:], (M, mid)).astype(jnp.float32)
-    acc = jax.lax.fori_loop(0, 9, tap, acc0)
-    m2_ref[:] = jnp.maximum(acc, 0.0).astype(dt)
+        acc = acc + jnp.dot(src, w2_ref[t],
+                            preferred_element_type=jnp.float32)
+    m2 = jnp.maximum(acc, 0.0).astype(dt)
 
     # conv3 + residual + relu, in output-column chunks (bounds the f32
-    # accumulator's VMEM footprint)
-    def out_chunk(ci, _):
-        c0 = ci * chunk
-        acc = jnp.dot(m2_ref[:], w3_ref[:, pl.ds(c0, chunk)],
-                      preferred_element_type=jnp.float32)
-        res = x_ref[0, pl.ds(row0, M), pl.ds(c0, chunk)]
-        y = acc + b3_ref[0, pl.ds(c0, chunk)] + res.astype(jnp.float32)
+    # accumulator's VMEM footprint; lane offsets are 128-multiples)
+    def out_chunk(c0):
+        acc3 = jnp.dot(m2, w3_ref[:, pl.ds(c0, chunk)],
+                       preferred_element_type=jnp.float32)
+        if nr == 1:
+            res = x_ref[0, :, pl.ds(c0, chunk)]
+        else:
+            res = x_ref[0, pl.ds(pl.multiple_of(r * M, 8), M),
+                        pl.ds(c0, chunk)]
+        y = acc3 + b3_ref[0, pl.ds(c0, chunk)] + res.astype(jnp.float32)
         o_ref[0, :, pl.ds(c0, chunk)] = jnp.maximum(y, 0.0).astype(dt)
-        return 0
 
-    jax.lax.fori_loop(0, o_ref.shape[-1] // chunk, out_chunk, 0)
+    c = o_ref.shape[-1]
+    if chunk == c:
+        out_chunk(0)
+    else:
+        jax.lax.fori_loop(0, c // chunk,
+                          lambda ci, _: (out_chunk(ci * chunk), 0)[1], 0)
 
 
-def _pick_row_splits(h: int, w: int, c: int, dtype) -> int:
-    """Smallest band count keeping the band in/out + scratch comfortably
-    inside VMEM (~12 MB with the double-buffered whole-image input)."""
-    bytes_per = 2 if jnp.dtype(dtype).itemsize == 2 else 4
-    img = h * w * c * bytes_per
+def _conv3_chunk(c: int, m: int) -> int:
+    """Largest 128-multiple divisor of c whose (m, chunk) f32 accumulator
+    stays ~<=2 MB (c is a 128-multiple by supports_shape)."""
+    chunk = min(c, max(128, (2_000_000 // (4 * m)) // 128 * 128))
+    while c % chunk:
+        chunk -= 128
+    return chunk
+
+
+def _pick_row_splits(h: int, w: int, c: int, mid: int, dtype) -> int:
+    """Smallest band count whose working set fits scoped VMEM (~14 MB of
+    the ~16 MB/core), with the TPU constraint that a true band's flat
+    length hw/r is a multiple of 8 sublanes."""
+    bytes_per = jnp.dtype(dtype).itemsize
+    hw = h * w
+    img = hw * c * bytes_per
+    wts = (c * mid + 9 * mid * mid + mid * c) * bytes_per
     for r in (1, 2, 4, 8):
-        if h % r:
+        # r == 1: the band IS the full (hw, c) array dim, which TPU block
+        # lowering always allows; true bands must be 8-sublane-aligned.
+        if h % r or (r > 1 and (hw // r) % 8):
             continue
-        # whole-image x (x2 buffers) + band out (x2) + ~4 MB scratch slack
-        if img * 2 + (img // r) * 2 + 4_500_000 < 12_500_000:
+        m = hw // r
+        # window value buffer + conv2 f32 accumulator + conv3 f32 chunk
+        vals = (m + 2 * w + 2) * mid * bytes_per
+        f32acc = m * mid * 4 + m * _conv3_chunk(c, m) * 4
+        # x and out get x2 pipeline buffers; the weight blocks are
+        # grid-invariant (constant index_map) so Mosaic keeps ONE
+        # resident copy.
+        if img * 2 + (img // r) * 2 + wts + vals + f32acc < 14_000_000:
             return r
     raise ValueError(f"no row split fits VMEM for {h}x{w}x{c}")
 
 
-def supports_shape(h: int, w: int, c_in: int, mid: int, c_out: int) -> bool:
+def supports_shape(h: int, w: int, c_in: int, mid: int, c_out: int,
+                   dtype=jnp.bfloat16) -> bool:
     """Stage shapes this kernel handles well: 128-multiple lane dims (the
     MXU constraint that sank the sub-128-channel stem kernel) and
-    identity-residual geometry."""
+    identity-residual geometry, at the given activation dtype's VMEM
+    footprint."""
     if c_in != c_out or c_in % 128 or mid % 128:
         return False
     try:
-        _pick_row_splits(h, w, c_in, jnp.bfloat16)
+        _pick_row_splits(h, w, c_in, mid, dtype)
     except ValueError:
         return False
     return True
@@ -164,20 +196,17 @@ def fused_bottleneck(
     b, h, w, c = x.shape
     mid = w1.shape[-1]
     if row_splits is None:
-        row_splits = _pick_row_splits(h, w, c, x.dtype)
-    if h % row_splits:
-        raise ValueError(f"row_splits={row_splits} must divide H={h} "
-                         "(bands must align to whole image rows)")
+        row_splits = _pick_row_splits(h, w, c, mid, x.dtype)
+    if h % row_splits or (row_splits > 1 and (h * w // row_splits) % 8):
+        raise ValueError(f"row_splits={row_splits} must divide H={h} with "
+                         "an 8-aligned flat band length")
     hw = h * w
     m = hw // row_splits
-    # f32 conv3 accumulator cap ~2 MB
-    chunk = min(c, max(128, (2_000_000 // (4 * m)) // 128 * 128))
-    while c % chunk:
-        chunk //= 2
+    chunk = _conv3_chunk(c, m)
     xf = x.reshape(b, hw, c)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, M=m, W=w, chunk=chunk),
+        functools.partial(_kernel, M=m, W=w, chunk=chunk, nr=row_splits),
         grid=(b, row_splits),
         in_specs=[
             pl.BlockSpec((1, hw, c), lambda bi, ri: (bi, 0, 0),
@@ -198,10 +227,9 @@ def fused_bottleneck(
         out_specs=pl.BlockSpec((1, m, c), lambda bi, ri: (bi, ri, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((m + 2 * w + 2, mid), x.dtype),
-            pltpu.VMEM((m, mid), x.dtype),
-        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=15_000_000,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hw * (c * mid + 9 * mid * mid + mid * c),
             bytes_accessed=(2 * b * hw * c + c * mid + 9 * mid * mid

@@ -371,8 +371,8 @@ def test_layer_norm_kernel_gradients_match_reference():
     [
         (13, 13, 2048, 512, 1),  # layer4 tail
         (26, 26, 1024, 256, 1),  # layer3 tail
-        (52, 52, 512, 128, 2),   # layer2 tail, banded
-        (52, 52, 512, 128, 4),
+        (52, 52, 512, 128, 2),   # layer2 tail, banded (halo recompute)
+        (16, 16, 256, 128, 4),   # small banded case, more halo seams
     ],
 )
 def test_fused_bottleneck_matches_xla(h, w, c, mid, row_splits):
@@ -413,3 +413,32 @@ def test_fused_bottleneck_rejects_bad_row_splits():
     with pytest.raises(ValueError):
         fused_bottleneck(x, w1, b1, w2, b2, w3, b3, row_splits=2,
                          interpret=True)
+
+
+def test_model_bottleneck_fused_path_matches_xla(monkeypatch):
+    """The fold_bn ResNet forward with the fused Pallas bottlenecks
+    (interpret mode) must match the plain XLA path on identical params.
+    width=64 @ 104px puts layer2's tail at 13x13x512 mid=128, which
+    qualifies for the kernel (>=128-channel lanes, identity residual)."""
+    import cris_tpu.ops.pallas as pallas_pkg
+    from cris_tpu.models.clip_resnet import ModifiedResNet
+    from cris_tpu.ops.pallas.bottleneck import supports_shape
+
+    assert supports_shape(13, 13, 512, 128, 512, jnp.float32)
+    model = ModifiedResNet(
+        layers=(1, 2, 2, 1), output_dim=64, heads=4,
+        input_resolution=104, width=64, fold_bn=True, dtype=None)
+    rs = np.random.RandomState(3)
+    img = jnp.asarray(rs.randn(2, 104, 104, 3).astype(np.float32))
+
+    monkeypatch.setenv("CRIS_PALLAS_BOTTLENECK", "1")  # measured-off default
+    monkeypatch.setattr(pallas_pkg, "pallas_mode", lambda: "off")
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    ref = model.apply(variables, img, train=False)
+
+    monkeypatch.setattr(pallas_pkg, "pallas_mode", lambda: "interpret")
+    got = model.apply(variables, img, train=False)
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
