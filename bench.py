@@ -194,7 +194,11 @@ def make_train_bench(preset_name):
         state, losses = jax.lax.scan(body, state, (imgs, words, masks))
         return losses.sum()
 
-    rng = jax.random.PRNGKey(42)
+    # production rng (rbg by default: threefry dropout bit-gen was ~25 ms
+    # of the 180 ms step; see utils/seed.py)
+    from cris_tpu.utils import root_key
+
+    rng = root_key(42)
 
     def timed(n, seed):
         imgs, words, masks = make_batches(seed, n)

@@ -32,7 +32,19 @@ def init_random_seed(seed: Optional[int] = None) -> int:
 
 
 def root_key(seed: int) -> jax.Array:
-    return jax.random.PRNGKey(seed)
+    """The run's root PRNG key.
+
+    Defaults to the 'rbg' generator: threefry bit-generation for the
+    decoder's dropout masks costs ~25 ms of the 180 ms R50 b32 train step
+    on v5e (tools/bench_train_parts.py round-3 measurement); rbg lowers
+    to the TPU's native PRNG and removes essentially all of it. Dropout
+    masks are reproducible per (seed, step) under either impl but differ
+    between impls; set CRIS_PRNG_IMPL=threefry2x32 to get JAX's default
+    stream back."""
+    import os
+
+    impl = os.environ.get("CRIS_PRNG_IMPL", "rbg")
+    return jax.random.key(seed, impl=impl)
 
 
 def epoch_key(seed: int, epoch: int) -> jax.Array:

@@ -1,0 +1,159 @@
+"""Microbench: fold bilinear upsample2x INTO the following conv3x3 as one
+lhs_dilated conv6x6 (VERDICT r2 task 3, the 52->104 upsample site).
+
+Identity: with b = [1,3,3,1]/4 (the x2 bilinear tap filter,
+align_corners=False) and K the 3x3 kernel,
+
+    conv3x3(upsample2x(x), K) == conv_general_dilated(
+        x, K6, lhs_dilation=2, padding=p)   with K6[a+ky, c+kx] += b[a]b[c]K
+
+-- one conv, no materialized (2H,2W,C) intermediate, no resize matmuls.
+The round-2 negative ("depthwise lhs_dilated-conv upsample == matmul
+speed") covered the upsample ALONE; this folds it away entirely. Works in
+train too (BN acts on the conv output, which is unchanged), so the win
+applies fwd+bwd.
+
+Validates the fold numerically against the production chain first (fp32
+exact), then times both formulations at the two projector sites, fwd and
+fwd+bwd.
+
+    PYTHONPATH=/root/repo:/root/.axon_site timeout 3300 \
+        python tools/bench_upsample_fold.py
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BATCH = 32
+# (h, w, cin, cout): projector sites at 416px input
+SITES = [(26, 26, 512, 512), (52, 52, 512, 256)]
+
+
+def fold_kernel(k3: np.ndarray) -> np.ndarray:
+    """(3,3,ci,co) HWIO -> (6,6,ci,co) folded with the bilinear taps."""
+    b = np.array([1.0, 3.0, 3.0, 1.0]) / 4.0
+    k6 = np.zeros((6, 6) + k3.shape[2:], k3.dtype)
+    for a in range(4):
+        for c in range(4):
+            k6[a:a + 3, c:c + 3] += b[a] * b[c] * k3
+    return k6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cris_tpu.ops.resize import upsample2x
+
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        t0 = time.monotonic()
+        x = jnp.asarray(rng.randn(256, 256).astype(np.float32))
+        float((x @ x).sum())
+        print(f"probe {i}: {time.monotonic() - t0:.1f}s", flush=True)
+
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def chain(x, k3):
+        u = upsample2x(x)
+        return jax.lax.conv_general_dilated(
+            u, k3, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def folded(x, k6, pad):
+        return jax.lax.conv_general_dilated(
+            x, k6, (1, 1), [pad, pad], lhs_dilation=(2, 2),
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # ---- find the padding whose INTERIOR reproduces the chain exactly
+    # (fp32). The outermost 2-pixel output ring differs: resize2d clamps
+    # source coords at the edge (pytorch bilinear semantics) while the
+    # dilated conv zero-pads -- an exact production op needs a cheap
+    # border-strip correction on top (4 thin convs); perf verdict first.
+    r = np.random.RandomState(1)
+    xs = jnp.asarray(r.randn(2, 10, 10, 8).astype(np.float32))
+    k3 = r.randn(3, 3, 8, 8).astype(np.float32) * 0.1
+    k6 = jnp.asarray(fold_kernel(k3))
+    ref = np.asarray(chain(xs, jnp.asarray(k3)))
+    good_pad = None
+    # (3,3) proven exact on CPU f32; TPU f32 convs route through bf16 MXU
+    # passes, so the on-device check uses a correspondingly loose atol.
+    for pad in [(3, 3), (2, 3), (3, 2), (2, 4), (4, 2), (1, 4), (4, 1)]:
+        try:
+            got = np.asarray(folded(xs, k6, pad))
+        except Exception:
+            continue
+        if got.shape == ref.shape and np.allclose(
+                got[:, 2:-2, 2:-2], ref[:, 2:-2, 2:-2], atol=2e-2):
+            good_pad = pad
+            border_err = float(np.abs(got - ref).max())
+            break
+    print("interior-exact padding:", good_pad,
+          "border max-err:", border_err if good_pad else "-", flush=True)
+    if good_pad is None:
+        sys.exit(1)
+
+    # ---- time both at the real sites, bf16, fwd and fwd+bwd
+    for h, w, ci, co in SITES:
+        bf = lambda a: jnp.asarray(a.astype(np.float32), jnp.bfloat16)
+        x0 = bf(r.randn(BATCH, h, w, ci) * 0.5)
+        k3d = bf(r.randn(3, 3, ci, co) * (ci ** -0.5))
+        k6d = jnp.asarray(fold_kernel(np.asarray(k3d, np.float32)),
+                          jnp.bfloat16)
+
+        def scan_fwd(fn, kern):
+            @partial(jax.jit, static_argnums=0)
+            def run(n, x, k):
+                def body(carry, _):
+                    y = fn(carry, k)
+                    # feed a same-shape perturbation back (output is 2x res)
+                    ds = jax.image.resize(y, x.shape, "nearest") \
+                        if y.shape != x.shape else y
+                    return (0.9 * ds + 0.1 * x).astype(x.dtype), y.mean()
+                _, ms = jax.lax.scan(body, x, None, length=n)
+                return ms.sum()
+            return run
+
+        def scan_grad(fn, kern):
+            @partial(jax.jit, static_argnums=0)
+            def run(n, x, k):
+                def loss(kk, xx):
+                    return fn(xx, kk).astype(jnp.float32).sum()
+
+                def body(carry, _):
+                    l, g = jax.value_and_grad(loss)(k, carry)
+                    return (carry * 0.999 + g.mean() * 1e-6).astype(
+                        carry.dtype), l
+                _, ms = jax.lax.scan(body, x, None, length=n)
+                return ms.sum()
+            return run
+
+        for mode, mk in (("fwd", scan_fwd), ("fwd+bwd", scan_grad)):
+            for name, fn, kern in (
+                    ("chain", chain, k3d),
+                    ("folded", lambda xx, kk: folded(xx, kk, good_pad), k6d)):
+                run = mk(fn, kern)
+                ts = {}
+                for n in (2, 12):
+                    float(run(n, x0, kern))  # compile
+                    best = 1e9
+                    for _ in range(3):
+                        t0 = time.monotonic()
+                        float(run(n, x0, kern))
+                        best = min(best, time.monotonic() - t0)
+                    ts[n] = best
+                ms = (ts[12] - ts[2]) / 10 * 1e3
+                print(f"  [{h}x{w} {ci}->{co}] {mode:7s} {name:6s} "
+                      f"{ms:7.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
