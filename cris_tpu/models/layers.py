@@ -194,6 +194,56 @@ class ConvBNReLU(nn.Module):
         return nn.relu(x)
 
 
+class UpConvBNReLU(nn.Module):
+    """bilinear-upsample2x + conv3x3(pad 1) + BN + ReLU with the upsample
+    folded into one lhs_dilated conv (ops.upsample_conv, exact incl. the
+    clamped-edge semantics). Parameter tree identical to
+    `upsample2x(x)` -> `ConvBNReLU(features, 3, 1)`, so checkpoints are
+    interchangeable between the fused and reference-order paths.
+
+    v5e b32 bf16 (tools/bench_upsample_fold.py): the projector's
+    52->104 512->256 site drops 9.55 -> 7.98 ms fwd, 10.34 -> 8.51
+    fwd+bwd; the 26->52 512->512 site 3.00 -> 2.47 fwd."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+    fold_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from ..ops.upsample_conv import upsample2x_conv3x3
+
+        ci = x.shape[-1]
+        conv = _ConvDecl((3, 3, ci, self.features), use_bias=self.fold_bn,
+                         name="conv")
+        kernel, bias = conv()
+        dt = self.dtype or x.dtype
+        y = upsample2x_conv3x3(x.astype(dt), kernel.astype(dt), bias)
+        if not self.fold_bn:
+            y = BatchNorm(self.features, dtype=self.dtype, name="bn")(y, train)
+        return nn.relu(y)
+
+
+class _ConvDecl(nn.Module):
+    """Declares nn.Conv-compatible parameters (kernel [+ bias]) without an
+    apply path (same pattern as clip_resnet._ConvParams)."""
+
+    shape: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32
+            )
+        return kernel, bias
+
+
 class LinearBNReLU(nn.Module):
     """linear(bias=False) + BN1d + ReLU (linear_layer helper,
     /root/reference/model/layers.py:14-16)."""

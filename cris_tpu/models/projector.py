@@ -17,9 +17,23 @@ from flax import linen as nn
 
 from ..ops.dynamic_conv import dynamic_conv2d
 from ..ops.resize import upsample2x
-from .layers import ConvBNReLU
+from .layers import ConvBNReLU, UpConvBNReLU
 
 Dtype = Any
+
+
+def _auto_fuse_upsample(fuse_upsample: Optional[bool], dtype) -> bool:
+    """Fold the bilinear upsamples into the following 3x3 convs?
+
+    Default: yes for sub-f32 compute dtypes (one lhs_dilated conv replaces
+    the resize matmuls + materialized (2H,2W,C) intermediate; ~2 ms of the
+    b32 eval forward), no for f32, where keeping the reference op order
+    preserves exact torch-trajectory parity in the f32 test harness and
+    the pinned goldens. The fused op itself is exact either way
+    (ops/upsample_conv.py)."""
+    if fuse_upsample is not None:
+        return fuse_upsample
+    return dtype is not None and jnp.dtype(dtype) != jnp.float32
 
 
 class Projector(nn.Module):
@@ -28,6 +42,7 @@ class Projector(nn.Module):
     kernel_size: int = 3
     dtype: Optional[Dtype] = None
     fold_bn: bool = False
+    fuse_upsample: Optional[bool] = None  # None = auto by dtype
 
     @nn.compact
     def __call__(
@@ -40,12 +55,21 @@ class Projector(nn.Module):
         """
         c = self.in_dim
         k = self.kernel_size
+        fuse = _auto_fuse_upsample(self.fuse_upsample, self.dtype)
 
         # visual trunk: os16 -> os4
-        x = upsample2x(x)
-        x = ConvBNReLU(2 * c, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="vis_conv1")(x, train)
-        x = upsample2x(x)
-        x = ConvBNReLU(c, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="vis_conv2")(x, train)
+        if fuse:
+            x = UpConvBNReLU(2 * c, dtype=self.dtype, fold_bn=self.fold_bn,
+                             name="vis_conv1")(x, train)
+            x = UpConvBNReLU(c, dtype=self.dtype, fold_bn=self.fold_bn,
+                             name="vis_conv2")(x, train)
+        else:
+            x = upsample2x(x)
+            x = ConvBNReLU(2 * c, 3, 1, dtype=self.dtype,
+                           fold_bn=self.fold_bn, name="vis_conv1")(x, train)
+            x = upsample2x(x)
+            x = ConvBNReLU(c, 3, 1, dtype=self.dtype,
+                           fold_bn=self.fold_bn, name="vis_conv2")(x, train)
         x = nn.Conv(
             c, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
             name="vis_out",

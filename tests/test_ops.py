@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
@@ -193,3 +194,79 @@ def _ref_pos2d(d_model, height, width):
 def test_sincos_2d_matches_reference_layout():
     ref = _ref_pos2d(512, 26, 26).numpy()
     np.testing.assert_allclose(sincos_2d(512, 26, 26), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_upsample2x_conv3x3_matches_chain():
+    """Fused lhs_dilated conv == upsample2x + conv3x3 (exact, incl. the
+    clamped-edge ring and bias), odd/rect shapes included."""
+    from cris_tpu.ops.resize import upsample2x
+    from cris_tpu.ops.upsample_conv import upsample2x_conv3x3
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    r = np.random.RandomState(2)
+    for (h, w, ci, co) in [(10, 10, 8, 6), (7, 9, 4, 4), (5, 5, 3, 7)]:
+        x = jnp.asarray(r.randn(2, h, w, ci).astype(np.float32))
+        k = jnp.asarray(r.randn(3, 3, ci, co).astype(np.float32) * 0.2)
+        b = jnp.asarray(r.randn(co).astype(np.float32))
+        u = upsample2x(x)
+        ref = jax.lax.conv_general_dilated(
+            u, k, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn) + b
+        got = upsample2x_conv3x3(x, k, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_upsample2x_conv3x3_gradients_match_chain():
+    from cris_tpu.ops.resize import upsample2x
+    from cris_tpu.ops.upsample_conv import upsample2x_conv3x3
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(2, 6, 6, 4).astype(np.float32))
+    k = jnp.asarray(r.randn(3, 3, 4, 5).astype(np.float32) * 0.2)
+
+    def loss_chain(xx, kk):
+        u = upsample2x(xx)
+        y = jax.lax.conv_general_dilated(
+            u, kk, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_fused(xx, kk):
+        return jnp.sum(jnp.sin(upsample2x_conv3x3(xx, kk)))
+
+    gx_r, gk_r = jax.grad(loss_chain, argnums=(0, 1))(x, k)
+    gx_f, gk_f = jax.grad(loss_fused, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_projector_fused_upsample_matches_reference_order():
+    """Projector with fuse_upsample on/off: same params, same output
+    (both train-mode BN stats and eval), f32."""
+    import dataclasses
+
+    from cris_tpu.models.projector import Projector
+
+    r = np.random.RandomState(4)
+    x = jnp.asarray(r.randn(2, 8, 8, 16).astype(np.float32))
+    word = jnp.asarray(r.randn(2, 32).astype(np.float32))
+    base = Projector(word_dim=32, in_dim=8, dtype=None, fuse_upsample=False)
+    variables = base.init(jax.random.PRNGKey(0), x, word, train=False)
+    ref = base.apply(variables, x, word, train=False)
+
+    fused = dataclasses.replace(base, fuse_upsample=True)
+    got = fused.apply(variables, x, word, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # train-mode: BN batch stats must also agree
+    _, st_r = base.apply(variables, x, word, train=True,
+                         mutable=["batch_stats"])
+    _, st_f = fused.apply(variables, x, word, train=True,
+                          mutable=["batch_stats"])
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5),
+        st_r, st_f)

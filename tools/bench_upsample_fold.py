@@ -62,16 +62,14 @@ def main():
     dn = ("NHWC", "HWIO", "NHWC")
 
     def chain(x, k3):
-        u = upsample2x(x)
+        u = upsample2x(x).astype(x.dtype)
         return jax.lax.conv_general_dilated(
-            u, k3, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            u, k3, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
 
     def folded(x, k6, pad):
         return jax.lax.conv_general_dilated(
             x, k6, (1, 1), [pad, pad], lhs_dilation=(2, 2),
-            dimension_numbers=dn,
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            dimension_numbers=dn)
 
     # ---- find the padding whose INTERIOR reproduces the chain exactly
     # (fp32). The outermost 2-pixel output ring differs: resize2d clamps
