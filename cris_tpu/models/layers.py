@@ -194,6 +194,51 @@ class ConvBNReLU(nn.Module):
         return nn.relu(x)
 
 
+def auto_fuse_upsample(fuse_upsample: Optional[bool], dtype) -> bool:
+    """Fold bilinear upsamples into the following convs?
+
+    Default: yes for sub-f32 compute dtypes (one lhs_dilated conv replaces
+    the resize matmuls + the materialized (2H,2W,C) intermediate), no for
+    f32, where keeping the reference op order preserves exact
+    torch-trajectory parity in the f32 test harness and the pinned
+    goldens. The fused ops themselves are exact either way
+    (ops/upsample_conv.py)."""
+    if fuse_upsample is not None:
+        return fuse_upsample
+    return dtype is not None and jnp.dtype(dtype) != jnp.float32
+
+
+class CatUpConvBNReLU(nn.Module):
+    """1x1 ConvBNReLU over `concat([*parts, upsample2x(up)])` with the
+    upsample folded into the split concat kernel:
+    conv1x1(cat) = conv1x1_a(parts) + upsample2x_conv1x1(up, K_b).
+    Parameter tree identical to ConvBNReLU(features, 1, 0) on the concat,
+    so checkpoints are interchangeable with the reference-order path."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+    fold_bn: bool = False
+
+    @nn.compact
+    def __call__(self, parts, up, train: bool = False) -> jnp.ndarray:
+        from ..ops.upsample_conv import upsample2x_conv1x1
+
+        ci = sum(p.shape[-1] for p in parts) + up.shape[-1]
+        kernel, bias = _ConvDecl((1, 1, ci, self.features),
+                                 use_bias=self.fold_bn, name="conv")()
+        dt = self.dtype or up.dtype
+        ca = ci - up.shape[-1]
+        cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+        y = jnp.einsum("bhwc,cd->bhwd", cat.astype(dt),
+                       kernel[0, 0, :ca].astype(dt))
+        y = y + upsample2x_conv1x1(up.astype(dt), kernel[:, :, ca:])
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        if not self.fold_bn:
+            y = BatchNorm(self.features, dtype=self.dtype, name="bn")(y, train)
+        return nn.relu(y)
+
+
 class UpConvBNReLU(nn.Module):
     """bilinear-upsample2x + conv3x3(pad 1) + BN + ReLU with the upsample
     folded into one lhs_dilated conv (ops.upsample_conv, exact incl. the

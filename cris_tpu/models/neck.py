@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.resize import avg_pool2d, upsample2x
-from .layers import BatchNorm, ConvBNReLU, CoordConv, LinearBNReLU
+from .layers import (BatchNorm, CatUpConvBNReLU, ConvBNReLU, CoordConv,
+                     LinearBNReLU, auto_fuse_upsample)
 
 Dtype = Any
 
@@ -26,6 +27,7 @@ class FPN(nn.Module):
     out_channels: Sequence[int] = (256, 512, 1024)
     dtype: Optional[Dtype] = None
     fold_bn: bool = False  # folds conv/linear+BN pairs; norm_layer BN stays
+    fuse_upsample: Optional[bool] = None  # None = auto by dtype (see layers)
 
     @nn.compact
     def __call__(
@@ -44,12 +46,18 @@ class FPN(nn.Module):
         f5 = BatchNorm(out2, dtype=self.dtype, name="norm_layer")(f5, train)
         f5 = nn.relu(f5)
 
+        fuse = auto_fuse_upsample(self.fuse_upsample, self.dtype)
+
         # fusion 2: v4 + upsampled f5
         f4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f2_v_proj")(v4, train)
-        f5_up = upsample2x(f5)
-        f4 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="f2_cat")(
-            jnp.concatenate([f4, f5_up], axis=-1), train
-        )
+        if fuse:
+            f4 = CatUpConvBNReLU(out1, dtype=self.dtype, fold_bn=self.fold_bn,
+                                 name="f2_cat")([f4], f5, train)
+        else:
+            f5_up = upsample2x(f5)
+            f4 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="f2_cat")(
+                jnp.concatenate([f4, f5_up], axis=-1), train
+            )
 
         # fusion 3: pooled v3 + f4
         f3 = ConvBNReLU(out0, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f3_v_proj")(v3, train)
@@ -62,9 +70,13 @@ class FPN(nn.Module):
         fq5 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj5")(f5, train)
         fq4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj4")(f4, train)
         fq3 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj3")(f3, train)
-        fq5 = upsample2x(fq5)
-        fq = jnp.concatenate([fq3, fq4, fq5], axis=-1)
-        fq = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="aggr")(fq, train)
+        if fuse:
+            fq = CatUpConvBNReLU(out1, dtype=self.dtype, fold_bn=self.fold_bn,
+                                 name="aggr")([fq3, fq4], fq5, train)
+        else:
+            fq5 = upsample2x(fq5)
+            fq = jnp.concatenate([fq3, fq4, fq5], axis=-1)
+            fq = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="aggr")(fq, train)
         fq = CoordConv(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="coordconv_0")(fq, train)
         fq = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="coordconv_1")(fq, train)
         return fq  # (B, 26, 26, out1)

@@ -17,23 +17,9 @@ from flax import linen as nn
 
 from ..ops.dynamic_conv import dynamic_conv2d
 from ..ops.resize import upsample2x
-from .layers import ConvBNReLU, UpConvBNReLU
+from .layers import ConvBNReLU, UpConvBNReLU, auto_fuse_upsample
 
 Dtype = Any
-
-
-def _auto_fuse_upsample(fuse_upsample: Optional[bool], dtype) -> bool:
-    """Fold the bilinear upsamples into the following 3x3 convs?
-
-    Default: yes for sub-f32 compute dtypes (one lhs_dilated conv replaces
-    the resize matmuls + materialized (2H,2W,C) intermediate; ~2 ms of the
-    b32 eval forward), no for f32, where keeping the reference op order
-    preserves exact torch-trajectory parity in the f32 test harness and
-    the pinned goldens. The fused op itself is exact either way
-    (ops/upsample_conv.py)."""
-    if fuse_upsample is not None:
-        return fuse_upsample
-    return dtype is not None and jnp.dtype(dtype) != jnp.float32
 
 
 class Projector(nn.Module):
@@ -55,7 +41,7 @@ class Projector(nn.Module):
         """
         c = self.in_dim
         k = self.kernel_size
-        fuse = _auto_fuse_upsample(self.fuse_upsample, self.dtype)
+        fuse = auto_fuse_upsample(self.fuse_upsample, self.dtype)
 
         # visual trunk: os16 -> os4
         if fuse:

@@ -91,6 +91,49 @@ def _strip_conv_valid(strip: jnp.ndarray, krow: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bltc,tcd->bld", stack, krow)
 
 
+def fold_kernel4(k1: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, Ci, Co) -> (4, 4, Ci, Co) folded with the bilinear taps."""
+    b = jnp.asarray([1.0, 3.0, 3.0, 1.0], jnp.float32) / 4.0
+    k1f = k1.astype(jnp.float32)[0, 0]  # (Ci, Co)
+    k4 = jnp.einsum("a,c,io->acio", b, b, k1f)
+    return k4.astype(k1.dtype)
+
+
+def upsample2x_conv1x1(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+) -> jnp.ndarray:
+    """== conv1x1(upsample2x(x), kernel), NHWC, exactly (no bias).
+
+    Used to fold the FPN's `concat([a, upsample2x(b)])` -> 1x1 conv
+    pattern (/root/reference/model/layers.py:120-141) by splitting the
+    concat kernel: conv1x1(cat) = conv1x1_a(a) + upsample2x_conv1x1(b).
+    A 1x1 conv does no spatial mixing, so the clamped-edge discrepancy of
+    the dilated core lives on the 1-wide output ring, which is simply
+    overwritten with directly computed values."""
+    if kernel.shape[:2] != (1, 1):
+        raise ValueError(f"1x1 kernel required, got {kernel.shape}")
+    _, h, w, _ = x.shape
+    kd = kernel.astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, fold_kernel4(kd), (1, 1), [(2, 2), (2, 2)],
+        lhs_dilation=(2, 2), dimension_numbers=_DN)
+
+    xf = x.astype(jnp.float32)
+    kf = kernel.astype(jnp.float32)[0, 0]  # (Ci, Co)
+    dt = y.dtype
+    row_t = jnp.einsum("bwc,cd->bwd", _up1d_clamped(xf[:, 0]), kf)
+    row_b = jnp.einsum("bwc,cd->bwd", _up1d_clamped(xf[:, h - 1]), kf)
+    col_l = jnp.einsum("bhc,cd->bhd", _up1d_clamped(xf[:, :, 0]), kf)
+    col_r = jnp.einsum("bhc,cd->bhd", _up1d_clamped(xf[:, :, w - 1]), kf)
+    y = y.at[:, 0].set(row_t.astype(dt))
+    y = y.at[:, 2 * h - 1].set(row_b.astype(dt))
+    y = y.at[:, 1:2 * h - 1, 0].set(col_l[:, 1:2 * h - 1].astype(dt))
+    y = y.at[:, 1:2 * h - 1, 2 * w - 1].set(
+        col_r[:, 1:2 * h - 1].astype(dt))
+    return y
+
+
 def upsample2x_conv3x3(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

@@ -270,3 +270,49 @@ def test_projector_fused_upsample_matches_reference_order():
         lambda a, b_: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5),
         st_r, st_f)
+
+
+def test_upsample2x_conv1x1_matches_chain():
+    from cris_tpu.ops.resize import upsample2x
+    from cris_tpu.ops.upsample_conv import upsample2x_conv1x1
+
+    r = np.random.RandomState(5)
+    for (h, w, ci, co) in [(13, 13, 8, 6), (7, 9, 4, 4), (5, 6, 3, 7)]:
+        x = jnp.asarray(r.randn(2, h, w, ci).astype(np.float32))
+        k = jnp.asarray(r.randn(1, 1, ci, co).astype(np.float32) * 0.3)
+        ref = jnp.einsum("bhwc,cd->bhwd", upsample2x(x), k[0, 0])
+        got = upsample2x_conv1x1(x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fpn_fused_upsample_matches_reference_order():
+    """FPN with fuse_upsample on/off: same params, same output, f32."""
+    import dataclasses
+
+    from cris_tpu.models.neck import FPN
+
+    r = np.random.RandomState(6)
+    v3 = jnp.asarray(r.randn(2, 16, 16, 24).astype(np.float32))
+    v4 = jnp.asarray(r.randn(2, 8, 8, 32).astype(np.float32))
+    v5 = jnp.asarray(r.randn(2, 4, 4, 32).astype(np.float32))
+    state = jnp.asarray(r.randn(2, 32).astype(np.float32))
+    base = FPN(in_channels=(24, 32, 32), out_channels=(16, 24, 32),
+               dtype=None, fuse_upsample=False)
+    variables = base.init(jax.random.PRNGKey(0), (v3, v4, v5), state,
+                          train=False)
+    ref = base.apply(variables, (v3, v4, v5), state, train=False)
+
+    fused = dataclasses.replace(base, fuse_upsample=True)
+    got = fused.apply(variables, (v3, v4, v5), state, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    _, st_r = base.apply(variables, (v3, v4, v5), state, train=True,
+                         mutable=["batch_stats"])
+    _, st_f = fused.apply(variables, (v3, v4, v5), state, train=True,
+                          mutable=["batch_stats"])
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5),
+        st_r, st_f)
