@@ -12,6 +12,7 @@ replacement for the reference's NCCL SyncBatchNorm conversion
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -202,9 +203,13 @@ def auto_fuse_upsample(fuse_upsample: Optional[bool], dtype) -> bool:
     f32, where keeping the reference op order preserves exact
     torch-trajectory parity in the f32 test harness and the pinned
     goldens. The fused ops themselves are exact either way
-    (ops/upsample_conv.py)."""
+    (ops/upsample_conv.py). CRIS_FUSE_UPSAMPLE=0/1 overrides the auto
+    decision (A/B measurement hook; an explicit module arg still wins)."""
     if fuse_upsample is not None:
         return fuse_upsample
+    env = os.environ.get("CRIS_FUSE_UPSAMPLE")
+    if env in ("0", "1"):
+        return env == "1"
     return dtype is not None and jnp.dtype(dtype) != jnp.float32
 
 
