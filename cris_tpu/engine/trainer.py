@@ -58,31 +58,76 @@ def lr_at_epoch(base_lr, milestones, gamma, epoch) -> float:
 
 
 def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
-    def group(lr_scale: float) -> optax.GradientTransformation:
+    """Two-LR-group Adam (backbone at lr_multi x base_lr, head at base_lr).
+
+    Two implementations with IDENTICAL math (Adam's per-leaf m/v state is
+    independent of grouping, and both groups share b1/b2/eps/wd, so the
+    group split only scales the final update):
+
+    - 'multi' (default): optax.multi_transform of two Adam chains -- the
+      direct torch-param-groups analogue;
+    - 'single': ONE scale_by_adam chain + a per-leaf group-LR scale --
+      half the optimizer-state bookkeeping in the train program. Select
+      with cfg `opt_impl: single` / env CRIS_OPT_IMPL=single.
+
+    Equivalence is pinned by tests/test_engine.py
+    (test_single_and_multi_optimizers_identical).
+    """
+    import os
+
+    def adam_parts():
         parts = []
         if cfg.get("weight_decay", 0.0):
             # torch Adam adds wd*p to the gradient *before* the moment
             # update (L2, not AdamW) -- replicate that ordering
             parts.append(optax.add_decayed_weights(cfg.weight_decay))
         parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-        parts.append(
-            optax.scale_by_learning_rate(
-                multistep_schedule(
-                    cfg.base_lr * lr_scale,
-                    cfg.get("milestones", []),
-                    cfg.get("lr_decay", 0.1),
-                    steps_per_epoch,
-                )
-            )
-        )
-        return optax.chain(*parts)
+        return parts
 
-    tx = optax.multi_transform(
-        {"backbone": group(cfg.get("lr_multi", 1.0)), "head": group(1.0)},
-        lambda params: jax.tree_util.tree_map_with_path(
-            lambda path, _: param_group_label(path), params
-        ),
-    )
+    def schedule_for(lr_scale: float):
+        return multistep_schedule(
+            cfg.base_lr * lr_scale,
+            cfg.get("milestones", []),
+            cfg.get("lr_decay", 0.1),
+            steps_per_epoch,
+        )
+
+    impl = os.environ.get("CRIS_OPT_IMPL", cfg.get("opt_impl", "multi"))
+    lr_multi = cfg.get("lr_multi", 1.0)
+    if impl == "single":
+        # the same two schedules the 'multi' groups use (bit-identical
+        # lr values, including float association of base_lr * lr_multi)
+        schedules = {"backbone": schedule_for(lr_multi),
+                     "head": schedule_for(1.0)}
+
+        def init(params):
+            return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+        def update(updates, state, params=None):
+            lrs = {k: s(state.count) for k, s in schedules.items()}
+            upd = jax.tree_util.tree_map_with_path(
+                lambda path, u: u * (
+                    -lrs[param_group_label(path)]).astype(u.dtype),
+                updates,
+            )
+            return upd, optax.ScaleByScheduleState(count=state.count + 1)
+
+        tx = optax.chain(
+            *adam_parts(), optax.GradientTransformation(init, update)
+        )
+    else:
+        def group(lr_scale: float) -> optax.GradientTransformation:
+            return optax.chain(
+                *adam_parts(),
+                optax.scale_by_learning_rate(schedule_for(lr_scale)),
+            )
+
+        tx = optax.multi_transform(
+            {"backbone": group(lr_multi), "head": group(1.0)},
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, _: param_group_label(path), params
+            ),
+        )
     if cfg.get("max_norm", 0.0):
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_norm), tx)
     return tx

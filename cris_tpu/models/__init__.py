@@ -19,7 +19,9 @@ from .clip_resnet import AttentionPool2d, Bottleneck, ModifiedResNet
 from .clip_text import ResidualAttentionBlock, TextEncoder, Transformer
 from .clip_vit import VisionTransformer
 from .decoder import TransformerDecoder, TransformerDecoderLayer
-from .layers import BatchNorm, ConvBNReLU, CoordConv, LayerNormF32, LinearBNReLU
+from .layers import (
+    BatchNorm, ConvBNReLU, CoordConv, LayerNormF32, LinearBNReLU, QuantConv,
+)
 from .neck import FPN
 from .projector import Projector
 from .segmenter import CRIS, bce_with_logits
@@ -43,6 +45,12 @@ def build_segmenter(cfg, clip_config: CLIPConfig = None) -> CRIS:
     """Build the CRIS Flax module from a flat config (see config/*/*.yaml)."""
     if clip_config is None:
         clip_config = preset_from_name(cfg.clip_pretrain)
+    # precision "int8": bf16 compute + dynamic-int8 backbone convs on the
+    # BN-folded serving path (ops/quant.py); parameter tree is unchanged
+    precision = str(cfg.get("precision", "bf16")).lower()
+    quant_int8 = precision == "int8" or bool(cfg.get("quant_int8", False))
+    if precision == "int8":
+        precision = "bf16"
     return CRIS(
         clip_config=clip_config,
         fpn_in=tuple(cfg.fpn_in),
@@ -53,7 +61,8 @@ def build_segmenter(cfg, clip_config: CLIPConfig = None) -> CRIS:
         dim_ffn=cfg.dim_ffn,
         dropout=cfg.dropout,
         intermediate=cfg.get("intermediate", False),
-        dtype=resolve_dtype(cfg.get("precision", "bf16")),
+        dtype=resolve_dtype(precision),
+        quant_int8=quant_int8,
         remat=bool(cfg.get("remat", False)),
         # 0 = fully unroll the homogeneous layer scans (measured best for
         # the R50 train program: fits HBM at b32 and compiles in ~80s vs
@@ -92,6 +101,7 @@ __all__ = [
     "CoordConv",
     "LayerNormF32",
     "LinearBNReLU",
+    "QuantConv",
     "FPN",
     "Projector",
     "CRIS",

@@ -109,6 +109,7 @@ class CLIP(nn.Module):
     scan_unroll: int = 1  # 0 = fully unroll the layer scans (eval-only)
     pos_grid: Optional[int] = None  # pre-folded attnpool pos-embed grid
     fuse_pool: Optional[bool] = None  # fused anti-aliasing pools (None = auto)
+    quant_int8: bool = False  # opt-in int8 serving path (fold_bn eval only)
 
     def setup(self):
         import numpy as np
@@ -144,6 +145,7 @@ class CLIP(nn.Module):
                 scan_unroll=self.scan_unroll,
                 pos_grid=self.pos_grid,
                 fuse_pool=self.fuse_pool,
+                quant_int8=self.quant_int8,
             )
         self.text = TextEncoder(
             vocab_size=cfg.vocab_size,

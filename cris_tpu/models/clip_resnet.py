@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
 from ..ops.resize import avg_pool2d, resize2d
-from .layers import BatchNorm, PooledConv1x1
+from .layers import BatchNorm, PooledConv1x1, QuantConv, quant_int8_enabled
 
 Dtype = Any
 
@@ -47,6 +47,7 @@ class Bottleneck(nn.Module):
     fold_bn: bool = False
     in_pool: int = 1  # fused stride-`in_pool` avg pool on the block input
     fuse_pool: Optional[bool] = None  # None = auto by dtype
+    quant_int8: bool = False  # opt-in int8 serving path (fold_bn eval only)
 
     expansion: int = 4
 
@@ -93,10 +94,18 @@ class Bottleneck(nn.Module):
                     interpret=pallas_interpret(),
                 )
 
+        use_quant = (self.fold_bn and not train
+                     and quant_int8_enabled(self.quant_int8))
+
         def conv(features, ksize, name, pool=1):
             if pool > 1:
                 return PooledConv1x1(
                     features, pool, use_bias=self.fold_bn, dtype=self.dtype,
+                    name=name,
+                )
+            if use_quant:
+                return QuantConv(
+                    features, ksize, use_bias=self.fold_bn, dtype=self.dtype,
                     name=name,
                 )
             return nn.Conv(
@@ -230,6 +239,7 @@ class ModifiedResNet(nn.Module):
     scan_unroll: int = 1  # 0 = fully unroll (eval-only programs)
     fuse_pool: Optional[bool] = None  # None = auto by dtype (see Bottleneck)
     pos_grid: Optional[int] = None  # pre-folded attnpool pos-embed grid
+    quant_int8: bool = False  # opt-in int8 serving path (fold_bn eval only)
 
     @nn.compact
     def __call__(
@@ -312,6 +322,7 @@ class ModifiedResNet(nn.Module):
             x = block_cls(
                 planes, stride, dtype=self.dtype, fold_bn=self.fold_bn,
                 in_pool=in_pool, fuse_pool=self.fuse_pool,
+                quant_int8=self.quant_int8,
                 name=f"layer{stage_idx}_0",
             )(x, train)
             if blocks <= 1:
@@ -331,7 +342,8 @@ class ModifiedResNet(nn.Module):
             )
             tail = Bottleneck(
                 planes, 1, dtype=self.dtype, fold_bn=self.fold_bn,
-                fuse_pool=self.fuse_pool, name=f"layer{stage_idx}_tail",
+                fuse_pool=self.fuse_pool, quant_int8=self.quant_int8,
+                name=f"layer{stage_idx}_tail",
             )
             x, _ = scan(tail, x, None)
             return x

@@ -71,6 +71,72 @@ class PooledConv1x1(nn.Module):
         return y
 
 
+def quant_int8_enabled(flag: bool) -> bool:
+    """Is the int8 serving path on? Module flag (``precision: int8``) or
+    the CRIS_INT8 env override (A/B tooling), read at trace time like the
+    other experimental gates."""
+    env = os.environ.get("CRIS_INT8")
+    if env is not None:
+        return env == "1"
+    return flag
+
+
+class QuantConv(nn.Module):
+    """Dynamic-int8 conv for the BN-folded serving path (opt-in).
+
+    Parameter tree is identical to ``nn.Conv(features, (k, k))`` (fp32
+    HWIO kernel [+ bias]), so bf16 and int8 programs share checkpoints;
+    quantization happens at apply time (ops/quant.py: per-output-channel
+    weight scales, per-tensor dynamic activation scale, int32 MXU
+    accumulation at 2x bf16 peak). Sub-``min_channels`` convs keep the
+    plain conv: <128-channel matmuls waste the MXU's 128-lane K/N tiles
+    (the ops/pallas/stem.py negative), so quantizing them only adds
+    round/clip passes.
+    """
+
+    features: int
+    kernel_size: int = 1
+    strides: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    # quantize only convs with min(cin, cout) >= this; None = the
+    # CRIS_INT8_MIN_CH env override (A/B + tiny-model tests) or 128
+    min_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.quant import int8_conv2d
+
+        min_ch = self.min_channels
+        if min_ch is None:
+            min_ch = int(os.environ.get("CRIS_INT8_MIN_CH", "128"))
+        cin = x.shape[-1]
+        ks = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (ks, ks, cin, self.features),
+            jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        dtype = self.dtype or x.dtype
+        pad = [(ks // 2, ks // 2)] * 2
+        strides = (self.strides, self.strides)
+        if min(cin, self.features) >= min_ch:
+            return int8_conv2d(x, kernel, strides, pad, bias).astype(dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), strides, pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d/1d with exact torch semantics.
 

@@ -58,12 +58,17 @@ class CRIS(nn.Module):
     # override the dtype-keyed auto gate for fused anti-aliasing pools
     # (models/clip_resnet.py:_auto_fuse_pool); None = auto
     fuse_pool: Optional[bool] = None
+    # opt-in int8 dynamic-quantized backbone convs for serving
+    # (``precision: int8`` / CRIS_INT8=1; fold_bn eval only, see
+    # ops/quant.py) -- NOT the parity path
+    quant_int8: bool = False
 
     def setup(self):
         self.backbone = CLIP(
             self.clip_config, dtype=self.dtype, remat=self.remat,
             fold_bn=self.fold_bn, scan_unroll=self.scan_unroll,
             pos_grid=self.pos_grid, fuse_pool=self.fuse_pool,
+            quant_int8=self.quant_int8,
         )
         self.neck = FPN(
             tuple(self.fpn_in), tuple(self.fpn_out), dtype=self.dtype,

@@ -1,0 +1,87 @@
+"""int8 quantized convolution for TPU inference.
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 peak (394 vs 197
+TOPS), and the BN-folded eval forward is conv-MXU-bound after the round-3
+epilogue-fusion negative (ops/pallas/bottleneck.py, CLAUDE.md). This
+module implements the standard post-training dynamic quantization
+recipe, TPU-first:
+
+- weights: symmetric per-output-channel int8 (scale = maxabs / 127),
+  quantized from the checkpoint values inside the jitted program (the
+  kernels are tiny next to the activations, so requantizing per call is
+  noise, and the parameter tree stays byte-identical to the bf16 model);
+- activations: symmetric per-tensor DYNAMIC int8 -- one maxabs reduce
+  over the conv input + a round/clip/cast pass, both of which XLA fuses
+  into the neighboring epilogues;
+- accumulation in int32 (`preferred_element_type`), dequantized by
+  s_x * s_w[c] in the conv epilogue.
+
+This trades exactness for speed: quantization error is ~1% relative per
+conv (see tests/test_ops.py bounds), so it is an OPT-IN serving mode
+(`precision: int8` / CRIS_INT8=1), never the parity default. Reference
+equivalent: none (the reference has no quantized path); this is a
+beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def quantize_channelwise(
+    k: jnp.ndarray, eps: float = 1e-12
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 quantization of an HWIO kernel.
+
+    Returns (int8 kernel, f32 per-channel scale of shape (Cout,)) with
+    k ~= kq * scale.
+    """
+    kf = k.astype(jnp.float32)
+    axes = tuple(range(kf.ndim - 1))
+    scale = jnp.max(jnp.abs(kf), axis=axes) / 127.0 + eps
+    kq = jnp.clip(jnp.round(kf / scale), -127, 127).astype(jnp.int8)
+    return kq, scale
+
+
+def quantize_dynamic(
+    x: jnp.ndarray, eps: float = 1e-12
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-tensor dynamic int8 quantization of an activation.
+
+    Returns (int8 x, scalar f32 scale) with x ~= xq * scale.
+    """
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf)) / 127.0 + eps
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def int8_conv2d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Sequence[int] = (1, 1),
+    padding="SAME",
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """== conv2d(x, kernel) [+ bias] through the int8 MXU path.
+
+    x: (B, H, W, Ci) float; kernel: (kh, kw, Ci, Co) float (quantized
+    per-output-channel on the fly); returns f32 (caller applies the
+    activation and casts -- both fuse into the dequant epilogue).
+    """
+    kq, k_scale = quantize_channelwise(kernel)
+    xq, x_scale = quantize_dynamic(x)
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, tuple(strides), padding,
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (x_scale * k_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y

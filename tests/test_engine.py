@@ -148,3 +148,43 @@ def test_checkpoint_roundtrip(tmp_path, trained_bits):
     after = jax.tree_util.tree_leaves(restored_m["params"])
     for a, b in zip(before, after):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_single_and_multi_optimizers_identical(monkeypatch):
+    """opt_impl 'single' (one Adam chain + per-leaf group-LR scale) must
+    produce bit-level-identical parameter trajectories to the default
+    two-group multi_transform Adam."""
+    import jax
+    import optax
+
+    from cris_tpu.engine.trainer import make_optimizer
+    from cris_tpu.utils.config import CfgNode
+
+    cfg = dict(base_lr=1e-3, lr_multi=0.1, milestones=[2], lr_decay=0.1,
+               weight_decay=0.0, max_norm=0.0)
+    r = np.random.RandomState(0)
+    params = {
+        "backbone": {"w": jnp.asarray(r.randn(4, 3).astype(np.float32)),
+                     "positional_embedding":
+                         jnp.asarray(r.randn(5).astype(np.float32))},
+        "neck": {"w": jnp.asarray(r.randn(3).astype(np.float32))},
+    }
+
+    def run(impl):
+        monkeypatch.setenv("CRIS_OPT_IMPL", impl)
+        tx = make_optimizer(CfgNode(dict(cfg)), steps_per_epoch=1)
+        p = jax.tree_util.tree_map(lambda a: a, params)
+        st = tx.init(p)
+        outs = []
+        for i in range(4):  # crosses the milestone boundary
+            g = jax.tree_util.tree_map(
+                lambda a: jnp.sin(a * (i + 1)), p)
+            upd, st = tx.update(g, st, p)
+            p = optax.apply_updates(p, upd)
+            outs.append(p)
+        return outs
+
+    for a, b in zip(run("multi"), run("single")):
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)), a, b)

@@ -121,3 +121,41 @@ def test_fold_pos_embed_resizes_to_inference_grid():
         folded[1:].reshape(13, 13, 24), np.asarray(runtime[0]),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_quant_int8_serving_path(monkeypatch):
+    """fold_bn + quant_int8 (precision: int8 serving mode): loads the very
+    same folded checkpoint (param tree unchanged) and reproduces the f32
+    eval forward to within the documented dynamic-quantization error."""
+    from cris_tpu.checkpoint import fold_batchnorm
+
+    # tiny channels never reach the production >=128 threshold
+    monkeypatch.setenv("CRIS_INT8_MIN_CH", "1")
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(1, 49000, (2, 17)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, word, train=False)
+
+    folded_model = dataclasses.replace(model, fold_bn=True)
+    folded_vars = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+    ref = np.asarray(folded_model.apply(folded_vars, img, word, train=False))
+
+    quant_model = dataclasses.replace(folded_model, quant_int8=True)
+    # identical tree: the folded checkpoint loads as-is
+    init_q = quant_model.init(jax.random.PRNGKey(0), img, word)
+    assert (
+        jax.tree_util.tree_map(lambda a: a.shape, init_q["params"])
+        == jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a).shape, folded_vars["params"])
+    )
+    got = np.asarray(quant_model.apply(folded_vars, img, word, train=False))
+
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert 0 < rel < 0.1, rel
+    # the predicted masks must agree: same sign structure at the 0.35
+    # sigmoid threshold for the overwhelming majority of pixels
+    thr = np.log(0.35 / 0.65)
+    agree = np.mean((got > thr) == (ref > thr))
+    assert agree > 0.97, agree

@@ -316,3 +316,82 @@ def test_fpn_fused_upsample_matches_reference_order():
         lambda a, b_: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5),
         st_r, st_f)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized conv (ops/quant.py) -- the opt-in serving path
+
+
+def test_int8_conv2d_exact_on_representable_inputs():
+    """With integer-valued inputs/kernels whose maxabs hits 127, the
+    int8 path introduces no quantization error at all."""
+    from cris_tpu.ops.quant import int8_conv2d
+
+    r = np.random.RandomState(0)
+    x = r.randint(-127, 128, (2, 8, 8, 16)).astype(np.float32)
+    x[0, 0, 0, 0] = 127.0  # pin the dynamic scale to 1
+    x = jnp.asarray(x)
+    k = r.randint(-127, 128, (3, 3, 16, 8)).astype(np.float32)
+    k[0, 0, 0, :] = 127.0  # pin every per-channel scale to 1
+    k = jnp.asarray(k)
+    b = jnp.asarray(r.randn(8).astype(np.float32))
+
+    got = int8_conv2d(x, k, (1, 1), [(1, 1), (1, 1)], b)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_int8_conv2d_error_bound_on_random_inputs():
+    from cris_tpu.ops.quant import int8_conv2d
+
+    r = np.random.RandomState(1)
+    x = jnp.asarray(r.randn(2, 10, 10, 32).astype(np.float32))
+    k = jnp.asarray((r.randn(3, 3, 32, 24) * 0.1).astype(np.float32))
+    got = np.asarray(int8_conv2d(x, k, (1, 1), "SAME"))
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+
+
+def test_quantconv_param_tree_and_fallback_match_nn_conv():
+    """QuantConv declares the exact nn.Conv param tree (checkpoint
+    compatibility) and its sub-threshold fallback path reproduces
+    nn.Conv's output."""
+    from flax import linen as nn
+
+    from cris_tpu.models.layers import QuantConv
+
+    r = np.random.RandomState(2)
+    x = jnp.asarray(r.randn(2, 6, 6, 12).astype(np.float32))
+    qc = QuantConv(10, 3, use_bias=True, dtype=None, min_channels=4096)
+    ref_conv = nn.Conv(10, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+                       dtype=None, param_dtype=jnp.float32)
+    v_q = qc.init(jax.random.PRNGKey(0), x)
+    v_c = ref_conv.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v_q) == jax.tree_util.tree_structure(v_c)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, v_q)
+            == jax.tree_util.tree_map(lambda a: a.shape, v_c))
+
+    got = qc.apply(v_c, x)  # nn.Conv's params through QuantConv
+    ref = ref_conv.apply(v_c, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantconv_quantized_path_close():
+    from cris_tpu.models.layers import QuantConv
+
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(2, 6, 6, 16).astype(np.float32))
+    qc = QuantConv(16, 1, use_bias=True, dtype=None, min_channels=1)
+    v = qc.init(jax.random.PRNGKey(0), x)
+    got = np.asarray(qc.apply(v, x))
+    plain = QuantConv(16, 1, use_bias=True, dtype=None, min_channels=4096)
+    ref = np.asarray(plain.apply(v, x))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert 0 < rel < 0.02, rel

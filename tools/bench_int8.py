@@ -73,6 +73,18 @@ def main():
                       -127, 127).astype(jnp.int8)
         return int8_core(xq, kq, s * w_scale, b).astype(jnp.bfloat16)
 
+    def make_int8_static_block(s_const):
+        # calibrated (static) activation scale: no reduce; the
+        # round/clip/cast pass is free to fuse into the producer epilogue
+        inv = 1.0 / s_const
+
+        def block(x, kq, w_scale, b):
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                          -127, 127).astype(jnp.int8)
+            return int8_core(xq, kq, s_const * w_scale, b
+                             ).astype(jnp.bfloat16)
+        return block
+
     def scan_of(block):
         @functools.partial(jax.jit, static_argnums=0)
         def run(n_iters, x, *w):
@@ -112,9 +124,12 @@ def main():
             print(f"[{tag}] int8 conv FAILED: {e}", flush=True)
             continue
 
+        s_static = float(np.abs(x_f).max() / 127.0)
         variants = [
             ("bf16", bf16_block, (x_bf, k_bf, b)),
             ("int8_dyn", int8_dyn_block, (x_bf, kq, w_scale, b)),
+            ("int8_static", make_int8_static_block(s_static),
+             (x_bf, kq, w_scale, b)),
         ]
         per_ms = {}
         for name, block, args in variants:
@@ -138,18 +153,22 @@ def main():
             print(f"  {name} [{tag}] marginal {per:.3f} ms "
                   f"({flops / per / 1e9:.1f} TFLOP/s eq, "
                   f"x{nsites} sites -> {per * nsites:.2f} ms)", flush=True)
-        if "bf16" in per_ms and "int8_dyn" in per_ms:
-            summary.append((tag, nsites, per_ms["bf16"], per_ms["int8_dyn"]))
+        if "bf16" in per_ms:
+            summary.append((tag, nsites, per_ms["bf16"],
+                            per_ms.get("int8_dyn", float("nan")),
+                            per_ms.get("int8_static", float("nan"))))
 
     print("\n== summary (ms marginal, b32) ==", flush=True)
-    tot_bf = tot_i8 = 0.0
-    for tag, nsites, tb, ti in summary:
+    tot_bf = tot_dyn = tot_st = 0.0
+    for tag, nsites, tb, td, ts_ in summary:
         tot_bf += tb * nsites
-        tot_i8 += ti * nsites
-        print(f"  {tag:24s} bf16 {tb:7.3f}  int8_dyn {ti:7.3f}  "
-              f"speedup {tb / max(ti, 1e-9):.2f}x  x{nsites}", flush=True)
+        tot_dyn += td * nsites
+        tot_st += ts_ * nsites
+        print(f"  {tag:24s} bf16 {tb:7.3f}  dyn {td:7.3f} "
+              f"({tb / max(td, 1e-9):.2f}x)  static {ts_:7.3f} "
+              f"({tb / max(ts_, 1e-9):.2f}x)  x{nsites}", flush=True)
     print(f"  model-population total: bf16 {tot_bf:.2f} ms vs "
-          f"int8_dyn {tot_i8:.2f} ms", flush=True)
+          f"dyn {tot_dyn:.2f} ms vs static {tot_st:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
