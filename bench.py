@@ -112,6 +112,23 @@ def build_model(preset_name, fold_bn):
         variables = fold_batchnorm(
             jax.tree_util.tree_map(np.asarray, variables), input_resolution=416
         )
+    if fold_bn and os.environ.get("CRIS_INT8_STATIC") == "1":
+        # calibrated static-scale int8 serving path (tools/ab_int8.py):
+        # attach the "quant" collection from a short synthetic calibration
+        from cris_tpu.checkpoint import calibrate_act_scales
+
+        cal = []
+        for i in range(2):
+            k = jax.random.PRNGKey(100 + i)
+            ki, kw = jax.random.split(k)
+            cal.append((
+                jax.random.normal(ki, (8, 416, 416, 3), jnp.float32),
+                jax.random.randint(kw, (8, 17), 1, 49000, jnp.int32),
+            ))
+        scales = calibrate_act_scales(
+            dataclasses.replace(model, quant_int8=True), variables, cal
+        )
+        variables = {**variables, "quant": scales}
     variables = jax.device_put(variables)
     return model, variables
 

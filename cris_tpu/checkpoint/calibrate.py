@@ -1,0 +1,77 @@
+"""Activation-scale calibration for the int8 serving mode.
+
+Post-training static quantization (the TPU-right formulation: with a
+calibrated per-site activation scale the quantize pass has no reduce
+dependency and fuses into the producer's epilogue -- see
+ops/quant.py:int8_conv2d_static). Flow:
+
+    scales = calibrate_act_scales(model, folded_vars, batches)
+    serving_vars = {**folded_vars, "quant": scales}
+    model.apply(serving_vars, img, word, train=False)   # static int8
+
+``batches`` is an iterable of (img, word) device arrays; a handful of
+representative batches suffices (the statistic is a running maxabs).
+The reference has no quantized path; this is a beyond-reference serving
+capability.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _maxabs_to_scale(tree: Any) -> Any:
+    """quant_stats {.../act_maxabs: v} -> quant {.../act_scale: v/127}."""
+    if isinstance(tree, dict):
+        return {
+            ("act_scale" if k == "act_maxabs" else k): _maxabs_to_scale(v)
+            for k, v in tree.items()
+        }
+    return jnp.asarray(tree, jnp.float32) / 127.0 + 1e-12
+
+
+def calibrate_act_scales(
+    model,
+    variables: Dict[str, Any],
+    batches: Iterable[Tuple[jnp.ndarray, jnp.ndarray]],
+) -> Dict[str, Any]:
+    """Run calibration forwards and return the "quant" collection.
+
+    The model must be the fold_bn eval model with the int8 gate ON
+    (quant_int8=True or CRIS_INT8=1): QuantConv sows each quantized
+    site's input maxabs under CRIS_INT8_CALIB=1 while running the plain
+    (unquantized) convs.
+    """
+    stats = None
+    prev = os.environ.get("CRIS_INT8_CALIB")
+    os.environ["CRIS_INT8_CALIB"] = "1"
+    try:
+        for img, word in batches:
+            _, mutated = model.apply(
+                variables, img, word, train=False, mutable=["quant_stats"]
+            )
+            batch_stats_tree = mutated.get("quant_stats", {})
+            if not batch_stats_tree:
+                raise ValueError(
+                    "calibrate_act_scales: no QuantConv site engaged -- is "
+                    "the int8 gate on (quant_int8=True / CRIS_INT8=1) and "
+                    "are any convs >= CRIS_INT8_MIN_CH channels?"
+                )
+            if stats is None:
+                stats = batch_stats_tree
+            else:
+                stats = jax.tree_util.tree_map(
+                    jnp.maximum, stats, batch_stats_tree
+                )
+    finally:
+        if prev is None:
+            os.environ.pop("CRIS_INT8_CALIB", None)
+        else:
+            os.environ["CRIS_INT8_CALIB"] = prev
+    if stats is None:
+        raise ValueError("calibrate_act_scales: no batches provided")
+    return _maxabs_to_scale(stats)

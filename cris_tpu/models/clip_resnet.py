@@ -335,7 +335,11 @@ class ModifiedResNet(nn.Module):
                 body = nn.remat(body, prevent_cse=False)
             scan = nn.scan(
                 body,
-                variable_axes={"params": 0, "batch_stats": 0},
+                # quant/quant_stats: per-layer int8 activation scales /
+                # calibration maxabs (QuantConv); absent collections are
+                # ignored by nn.scan
+                variable_axes={"params": 0, "batch_stats": 0,
+                               "quant": 0, "quant_stats": 0},
                 split_rngs={"params": True},
                 length=blocks - 1,
                 unroll=min(self.scan_unroll or (blocks - 1), blocks - 1),

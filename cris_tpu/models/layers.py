@@ -105,7 +105,7 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.quant import int8_conv2d
+        from ..ops.quant import int8_conv2d, int8_conv2d_static
 
         min_ch = self.min_channels
         if min_ch is None:
@@ -127,7 +127,25 @@ class QuantConv(nn.Module):
         pad = [(ks // 2, ks // 2)] * 2
         strides = (self.strides, self.strides)
         if min(cin, self.features) >= min_ch:
-            return int8_conv2d(x, kernel, strides, pad, bias).astype(dtype)
+            # calibration pass (checkpoint/calibrate.py drives this with
+            # CRIS_INT8_CALIB=1 + mutable=["quant_stats"]): record the
+            # activation maxabs and run the PLAIN conv (scales unknown yet)
+            if os.environ.get("CRIS_INT8_CALIB") == "1":
+                self.sow(
+                    "quant_stats", "act_maxabs",
+                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    init_fn=lambda: jnp.zeros((), jnp.float32),
+                    reduce_fn=jnp.maximum,
+                )
+            elif self.has_variable("quant", "act_scale"):
+                # calibrated static scale: the quantize pass has no reduce
+                # dependency, so it fuses into the producer's epilogue
+                s = self.get_variable("quant", "act_scale")
+                return int8_conv2d_static(
+                    x, kernel, s, strides, pad, bias).astype(dtype)
+            else:
+                return int8_conv2d(x, kernel, strides, pad, bias
+                                   ).astype(dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype), strides, pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

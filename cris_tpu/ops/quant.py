@@ -61,6 +61,36 @@ def quantize_dynamic(
     return xq, scale
 
 
+def int8_conv2d_static(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    act_scale: jnp.ndarray,
+    strides: Sequence[int] = (1, 1),
+    padding="SAME",
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """int8 conv with a CALIBRATED (static) activation scale.
+
+    Unlike the dynamic variant there is no maxabs reduce over the input,
+    so the quantize (scale/round/clip/cast) is a pure elementwise pass
+    XLA can fuse into the producing op's epilogue. Activations beyond the
+    calibrated range saturate at +-127 (standard PTQ semantics).
+    """
+    kq, k_scale = quantize_channelwise(kernel)
+    s = jnp.asarray(act_scale, jnp.float32)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                  -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, tuple(strides), padding,
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s * k_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
 def int8_conv2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

@@ -159,3 +159,37 @@ def test_quant_int8_serving_path(monkeypatch):
     thr = np.log(0.35 / 0.65)
     agree = np.mean((got > thr) == (ref > thr))
     assert agree > 0.97, agree
+
+
+def test_quant_int8_static_calibration(monkeypatch):
+    """Calibrated static scales: calibrate_act_scales produces the
+    "quant" collection, the static path engages, and the output stays
+    within the quantization error bound of the f32 eval forward."""
+    from cris_tpu.checkpoint import calibrate_act_scales, fold_batchnorm
+
+    monkeypatch.setenv("CRIS_INT8_MIN_CH", "1")
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(1, 49000, (2, 17)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, word, train=False)
+
+    folded_model = dataclasses.replace(model, fold_bn=True)
+    folded_vars = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+    ref = np.asarray(folded_model.apply(folded_vars, img, word, train=False))
+
+    quant_model = dataclasses.replace(folded_model, quant_int8=True)
+    scales = calibrate_act_scales(
+        quant_model, folded_vars, [(img, word), (img2, word)]
+    )
+    leaves = jax.tree_util.tree_leaves(scales)
+    assert leaves and all(np.all(np.asarray(l) > 0) for l in leaves)
+
+    got = np.asarray(quant_model.apply(
+        {**folded_vars, "quant": scales}, img, word, train=False))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert 0 < rel < 0.1, rel
+    thr = np.log(0.35 / 0.65)
+    assert np.mean((got > thr) == (ref > thr)) > 0.97

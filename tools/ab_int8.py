@@ -40,8 +40,13 @@ def main():
         print(f"probe {i}: {time.monotonic() - t0:.1f}s", flush=True)
 
     results = {}
-    for setting in ("0", "1"):
-        os.environ["CRIS_INT8"] = setting
+    for setting in ("0", "1", "static"):
+        if setting == "static":
+            os.environ["CRIS_INT8"] = "1"
+            os.environ["CRIS_INT8_STATIC"] = "1"
+        else:
+            os.environ["CRIS_INT8"] = setting
+            os.environ.pop("CRIS_INT8_STATIC", None)
         timed = bench.make_eval_bench("RN50")
         t = timed(2, 100)
         print(f"[eval int8={setting}] compile+1st 2-scan: {t:.1f}s",
@@ -59,11 +64,12 @@ def main():
         results[setting] = (step_ms, rate)
         print(f"[eval int8={setting}] marginal {step_ms:.2f} ms/step = "
               f"{rate:.1f} img/s", flush=True)
-    off, on = results["0"], results["1"]
+    off, on, st = results["0"], results["1"], results["static"]
     print(f"\nEVAL INT8 RESULT (min_ch={args.min_ch}): off {off[0]:.2f}ms "
-          f"({off[1]:.1f} img/s)  on {on[0]:.2f}ms ({on[1]:.1f} img/s)  "
-          f"delta {off[0] - on[0]:+.2f}ms\n", flush=True)
+          f"({off[1]:.1f} img/s)  dyn {on[0]:.2f}ms ({on[1]:.1f} img/s)  "
+          f"static {st[0]:.2f}ms ({st[1]:.1f} img/s)\n", flush=True)
     os.environ.pop("CRIS_INT8", None)
+    os.environ.pop("CRIS_INT8_STATIC", None)
 
 
 if __name__ == "__main__":
