@@ -279,7 +279,7 @@ def run_reference_stack(cfg, backend, mask_root, ckpt_path, steps, lr):
 
 
 def run_our_stack(base_config, ckpt_path, data_uri, mask_root, out_dir,
-                  n_pairs_hint):
+                  n_pairs_hint, precision="fp32"):
     """Our side: run the actual test.py CLI on the converted checkpoint."""
     import yaml
 
@@ -293,7 +293,9 @@ def run_our_stack(base_config, ckpt_path, data_uri, mask_root, out_dir,
 
     with open(base_config) as f:
         raw = yaml.safe_load(f)
-    raw["TRAIN"]["precision"] = "fp32"  # fp32 vs torch fp32 comparison
+    # fp32 default: exact vs torch fp32. --precision bf16/int8 instead
+    # MEASURES that mode's accuracy cost against the torch fp32 truth
+    raw["TRAIN"]["precision"] = precision
     raw["TRAIN"]["output_folder"] = os.path.join(out_dir, "exp")
     raw["TRAIN"]["exp_name"] = "REHEARSAL"
     raw["DATA"]["mask_root"] = mask_root
@@ -343,6 +345,12 @@ def main(argv=None):
                     "0.17-0.92 at init)")
     ap.add_argument("--tolerance", type=float, default=0.1,
                     help="max |ours - reference| in IoU percentage points")
+    ap.add_argument("--precision", default="fp32",
+                    choices=["fp32", "bf16", "int8"],
+                    help="our side's precision: fp32 = exactness rehearsal "
+                    "(default); bf16/int8 = measure that serving mode's "
+                    "mIoU cost vs the torch fp32 truth (pair with a "
+                    "looser --tolerance)")
     ap.add_argument("--out", default=None, help="work dir (default: tmp)")
     ap.add_argument("--config", default=os.path.join(
         REPO_ROOT, "config/refcoco/cris_r50.yaml"),
@@ -393,7 +401,8 @@ def main(argv=None):
     print("=> our stack: test.py on the converted checkpoint", flush=True)
     data_uri = f"synthetic://{args.images}?seed={args.seed}"
     our_metrics = run_our_stack(
-        args.config, ckpt_path, data_uri, mask_root, out_dir, n_pairs
+        args.config, ckpt_path, data_uri, mask_root, out_dir, n_pairs,
+        precision=args.precision,
     )
 
     keys = ["IoU", "Pr@50", "Pr@60", "Pr@70", "Pr@80", "Pr@90"]
