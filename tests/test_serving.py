@@ -127,3 +127,32 @@ def test_http_endpoints(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_predict_service_int8_mode(monkeypatch):
+    """precision: int8 through the serving stack: builds, folds, engages
+    QuantConv (tiny channels forced via CRIS_INT8_MIN_CH), and returns
+    well-formed masks for a real request."""
+    import os
+
+    from cris_tpu.data import decode_image
+    from cris_tpu.data.synthetic import make_record
+    from cris_tpu.utils import config as config_lib
+
+    monkeypatch.setenv("CRIS_INT8_MIN_CH", "1")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = config_lib.load_cfg_from_cfg_file(
+        os.path.join(repo, "config", "synthetic", "cris_tiny.yaml")
+    )
+    cfg.precision = "int8"
+    svc = PredictService(cfg, model_dir="/nonexistent", max_batch=2)
+
+    rec = make_record(0, seed=7)
+    img = decode_image(rec["img"])
+    out = svc.predict(img, ["the synthetic blob", "another sentence"])
+    assert len(out) == 2
+    for r in out:
+        assert r["mask"].shape == img.shape[:2]
+        assert r["mask"].dtype == bool
+        assert r["foreground_px"] == int(r["mask"].sum())
