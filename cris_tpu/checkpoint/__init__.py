@@ -1,4 +1,4 @@
-from .calibrate import calibrate_act_scales
+from .calibrate import calibrate_act_scales, load_act_scales, save_act_scales
 from .fold import fold_batchnorm
 from .stacking import stack_scanned, unstack_scanned
 from .orbax_io import (

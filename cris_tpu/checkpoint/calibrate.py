@@ -75,3 +75,35 @@ def calibrate_act_scales(
     if stats is None:
         raise ValueError("calibrate_act_scales: no batches provided")
     return _maxabs_to_scale(stats)
+
+
+def save_act_scales(path: str, scales: Dict[str, Any]) -> None:
+    """Persist the "quant" collection as a flat .npz (path -> array)."""
+    import numpy as np
+
+    flat = {}
+
+    def walk(tree, prefix):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, prefix + (str(k),))
+        else:
+            flat["/".join(prefix)] = np.asarray(tree)
+
+    walk(scales, ())
+    np.savez(path, **flat)
+
+
+def load_act_scales(path: str) -> Dict[str, Any]:
+    """Inverse of save_act_scales."""
+    import numpy as np
+
+    out: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    return out

@@ -113,6 +113,14 @@ class PredictService:
                 jax.tree_util.tree_map(np.asarray, variables),
                 input_resolution=self.input_size,
             )
+        # static int8 (precision: int8): attach calibrated activation
+        # scales when tools/quantize.py has written them
+        quant_path = osp.join(model_dir, "quant_scales.npz")
+        if (str(cfg.get("precision", "bf16")).lower() == "int8"
+                and fold_bn and osp.isfile(quant_path)):
+            from .checkpoint import load_act_scales
+
+            variables = {**variables, "quant": load_act_scales(quant_path)}
         self.model = model
         self.variables = jax.device_put(variables)
         self.evaluator = Evaluator(model, self.input_size, batch_size=max_batch)

@@ -78,6 +78,17 @@ def main():
             input_resolution=cfg.input_size,
         )
 
+    # static int8: attach calibrated activation scales when present
+    # (tools/quantize.py writes them; without the file the int8 mode
+    # falls back to dynamic per-tensor quantization)
+    quant_path = os.path.join(cfg.output_dir, "quant_scales.npz")
+    if (str(cfg.get("precision", "bf16")).lower() == "int8"
+            and os.path.isfile(quant_path)):
+        from cris_tpu.checkpoint import load_act_scales
+
+        logger.info(f"=> static int8 activation scales '{quant_path}'")
+        variables = {**variables, "quant": load_act_scales(quant_path)}
+
     variables = jax.device_put(variables, make_param_shardings(mesh, variables))
     evaluator = Evaluator(
         model, cfg.input_size, mesh, cfg.get("batch_size_val", 32)

@@ -193,3 +193,26 @@ def test_quant_int8_static_calibration(monkeypatch):
     assert 0 < rel < 0.1, rel
     thr = np.log(0.35 / 0.65)
     assert np.mean((got > thr) == (ref > thr)) > 0.97
+
+
+def test_act_scales_save_load_roundtrip(tmp_path):
+    from cris_tpu.checkpoint import load_act_scales, save_act_scales
+
+    tree = {
+        "backbone": {
+            "visual": {
+                "layer2_tail": {"conv1": {"act_scale": jnp.asarray(
+                    np.asarray([0.01, 0.02, 0.03], np.float32))}},
+                "layer3_0": {"conv2": {"act_scale": jnp.asarray(
+                    np.float32(0.5))}},
+            }
+        }
+    }
+    path = str(tmp_path / "quant_scales.npz")
+    save_act_scales(path, tree)
+    back = load_act_scales(path)
+    assert jax.tree_util.tree_structure(back) == \
+        jax.tree_util.tree_structure(tree)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), back, tree)
