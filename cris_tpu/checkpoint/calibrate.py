@@ -49,11 +49,19 @@ def calibrate_act_scales(
     stats = None
     prev = os.environ.get("CRIS_INT8_CALIB")
     os.environ["CRIS_INT8_CALIB"] = "1"
+
+    # ONE compiled program (env gate + mutable list are trace-time
+    # constants): un-jitted apply would dispatch every primitive
+    # separately through the relay backend (minutes per batch)
+    @jax.jit
+    def _calib_apply(variables, img, word):
+        return model.apply(
+            variables, img, word, train=False, mutable=["quant_stats"]
+        )
+
     try:
         for img, word in batches:
-            _, mutated = model.apply(
-                variables, img, word, train=False, mutable=["quant_stats"]
-            )
+            _, mutated = _calib_apply(variables, img, word)
             batch_stats_tree = mutated.get("quant_stats", {})
             if not batch_stats_tree:
                 raise ValueError(

@@ -22,7 +22,9 @@ from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
 from ..ops.resize import avg_pool2d, resize2d
-from .layers import BatchNorm, PooledConv1x1, QuantConv, quant_int8_enabled
+from .layers import (
+    BatchNorm, ConvParams, PooledConv1x1, QuantConv, quant_int8_enabled,
+)
 
 Dtype = Any
 
@@ -80,11 +82,11 @@ class Bottleneck(nn.Module):
                     and os.environ.get("CRIS_PALLAS_BOTTLENECK", "0") == "1"
                     and supports_shape(
                         fh, fw, inplanes, self.planes, out_planes, dt)):
-                w1, b1 = _ConvParams((1, 1, inplanes, self.planes),
+                w1, b1 = ConvParams((1, 1, inplanes, self.planes),
                                      name="conv1")()
-                w2, b2 = _ConvParams((3, 3, self.planes, self.planes),
+                w2, b2 = ConvParams((3, 3, self.planes, self.planes),
                                      name="conv2")()
-                w3, b3 = _ConvParams((1, 1, self.planes, out_planes),
+                w3, b3 = ConvParams((1, 1, self.planes, out_planes),
                                      name="conv3")()
                 return fused_bottleneck(
                     x.astype(dt),
@@ -206,27 +208,6 @@ class AttentionPool2d(nn.Module):
         return nn.relu(out.reshape(b, h, w, self.output_dim) + res)
 
 
-class _ConvParams(nn.Module):
-    """Declares nn.Conv-compatible parameters (kernel [+ bias]) without an
-    apply path -- used to feed the fused Pallas stem kernel while keeping
-    the parameter tree identical to the nn.Conv stem."""
-
-    shape: Tuple[int, ...]
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
-        )
-        bias = None
-        if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32
-            )
-        return kernel, bias
-
-
 class ModifiedResNet(nn.Module):
     layers: Sequence[int]
     output_dim: int
@@ -287,9 +268,9 @@ class ModifiedResNet(nn.Module):
         if use_pallas_stem:
             from ..ops.pallas.stem import fused_stem_pool
 
-            k1, b1 = _ConvParams((3, 3, 3, w // 2), name="conv1")()
-            k2, b2 = _ConvParams((3, 3, w // 2, w // 2), name="conv2")()
-            k3, b3 = _ConvParams((3, 3, w // 2, w), name="conv3")()
+            k1, b1 = ConvParams((3, 3, 3, w // 2), name="conv1")()
+            k2, b2 = ConvParams((3, 3, w // 2, w // 2), name="conv2")()
+            k3, b3 = ConvParams((3, 3, w // 2, w), name="conv3")()
             dt = self.dtype or x.dtype
             x = fused_stem_pool(
                 x, k1.astype(dt), b1, k2.astype(dt), b2, k3.astype(dt), b3,

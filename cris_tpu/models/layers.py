@@ -313,7 +313,7 @@ class CatUpConvBNReLU(nn.Module):
         from ..ops.upsample_conv import upsample2x_conv1x1
 
         ci = sum(p.shape[-1] for p in parts) + up.shape[-1]
-        kernel, bias = _ConvDecl((1, 1, ci, self.features),
+        kernel, bias = ConvParams((1, 1, ci, self.features),
                                  use_bias=self.fold_bn, name="conv")()
         dt = self.dtype or up.dtype
         ca = ci - up.shape[-1]
@@ -348,7 +348,7 @@ class UpConvBNReLU(nn.Module):
         from ..ops.upsample_conv import upsample2x_conv3x3
 
         ci = x.shape[-1]
-        conv = _ConvDecl((3, 3, ci, self.features), use_bias=self.fold_bn,
+        conv = ConvParams((3, 3, ci, self.features), use_bias=self.fold_bn,
                          name="conv")
         kernel, bias = conv()
         dt = self.dtype or x.dtype
@@ -358,9 +358,11 @@ class UpConvBNReLU(nn.Module):
         return nn.relu(y)
 
 
-class _ConvDecl(nn.Module):
+class ConvParams(nn.Module):
     """Declares nn.Conv-compatible parameters (kernel [+ bias]) without an
-    apply path (same pattern as clip_resnet._ConvParams)."""
+    apply path -- shared by the fused-op modules here and the Pallas
+    stem/bottleneck feeds in clip_resnet (single definition so the fused
+    and reference-order paths can't diverge)."""
 
     shape: tuple
     use_bias: bool = True

@@ -101,9 +101,13 @@ def main():
                 float(run(n, x0, *args))
                 t_compile = time.monotonic() - t0
                 best = 1e9
-                for _ in range(3):
+                for rep in range(3):
+                    # rolled input per dispatch: the relay value-caches
+                    # identical dispatches (CLAUDE.md)
+                    xv = jnp.roll(x0, rep, axis=1)
+                    jax.block_until_ready(xv)
                     t0 = time.monotonic()
-                    float(run(n, x0, *args))
+                    float(run(n, xv, *args))
                     best = min(best, time.monotonic() - t0)
                 ts[n] = best
                 print(f"  {name} n={n}: compile+1st {t_compile:.1f}s, "

@@ -134,15 +134,25 @@ def main():
         per_ms = {}
         for name, block, args in variants:
             run = scan_of(block)
+
+            def vary(x0, rep):
+                # different buffer contents per dispatch: the relay
+                # value-caches identical dispatches (CLAUDE.md), which
+                # would zero out repeat timings (roll, not a *= epsilon:
+                # sub-ulp bf16 perturbations can round away)
+                return jnp.roll(x0, rep, axis=1)
+
             ts = {}
             for n in (2, 12):
                 t0 = time.monotonic()
                 float(run(n, *args))
                 tc = time.monotonic() - t0
                 best = 1e9
-                for _ in range(3):
+                for rep in range(1, 4):
+                    xv = vary(args[0], rep)
+                    jax.block_until_ready(xv)
                     t0 = time.monotonic()
-                    float(run(n, *args))
+                    float(run(n, xv, *args[1:]))
                     best = min(best, time.monotonic() - t0)
                 ts[n] = best
                 print(f"  {name} n={n}: compile+1st {tc:.1f}s, "

@@ -58,10 +58,7 @@ def main():
 
     import bench
     from cris_tpu.engine.metrics import train_metrics
-    from cris_tpu.engine.trainer import (
-        create_train_state, make_optimizer, multistep_schedule,
-    )
-    from cris_tpu.models import param_group_label
+    from cris_tpu.engine.trainer import create_train_state, make_optimizer
     from cris_tpu.utils.config import CfgNode
 
     bench.BATCH = BATCH
@@ -78,25 +75,18 @@ def main():
                    "lr_decay": 0.1, "weight_decay": 0.0, "max_norm": 0.0})
 
     def single_adam_tx():
-        schedule = multistep_schedule(cfg.base_lr, cfg.milestones,
-                                      cfg.lr_decay, 1000)
-        lr_multi = cfg.lr_multi
-
-        def init(params):
-            return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
-
-        def update(updates, state, params=None):
-            lr = schedule(state.count)
-            upd = jax.tree_util.tree_map_with_path(
-                lambda path, u: u * jnp.asarray(
-                    -lr * (lr_multi if param_group_label(path) == "backbone"
-                           else 1.0), u.dtype),
-                updates)
-            return upd, optax.ScaleByScheduleState(count=state.count + 1)
-
-        return optax.chain(
-            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.GradientTransformation(init, update))
+        # the PRODUCTION single-chain implementation
+        # (cris_tpu/engine/trainer.py make_optimizer, opt_impl='single'),
+        # not a re-implementation -- the A/B measures the real code path
+        prev = os.environ.get("CRIS_OPT_IMPL")
+        os.environ["CRIS_OPT_IMPL"] = "single"
+        try:
+            return make_optimizer(cfg, 1000)
+        finally:
+            if prev is None:
+                os.environ.pop("CRIS_OPT_IMPL", None)
+            else:
+                os.environ["CRIS_OPT_IMPL"] = prev
 
     txs = {
         "full": make_optimizer(cfg, 1000),

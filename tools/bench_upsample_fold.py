@@ -143,9 +143,13 @@ def main():
                 for n in (2, 12):
                     float(run(n, x0, kern))  # compile
                     best = 1e9
-                    for _ in range(3):
+                    for rep in range(3):
+                        # rolled input per dispatch: the relay
+                        # value-caches identical dispatches (CLAUDE.md)
+                        xv = jnp.roll(x0, rep, axis=1)
+                        jax.block_until_ready(xv)
                         t0 = time.monotonic()
-                        float(run(n, x0, kern))
+                        float(run(n, xv, kern))
                         best = min(best, time.monotonic() - t0)
                     ts[n] = best
                 ms = (ts[12] - ts[2]) / 10 * 1e3

@@ -113,7 +113,11 @@ def main():
         out = np.asarray(fused_attention_bse_dropout(
             q0, k0, v1, h, None, rate, jnp.int32(5), False)).astype(np.float64)
         keep_hat = out.mean() * (1.0 - rate)
-        n = out.size * t2  # each element averages t2 mask bits
+        # independent mask bits: one (t2,)-vector per (batch, row, HEAD) --
+        # the d feature dims within a head share the SAME bits, so they
+        # don't count (out.size*t2 would overstate n by d and turn the
+        # 6-sigma bound into ~1.2 sigma => ~20% false-failure rate)
+        n = out.size // d * t2
         sigma = np.sqrt(rate * (1 - rate) / n)
         assert abs(keep_hat - (1 - rate)) < 6 * max(sigma, 1e-4), (
             keep_hat, sigma
