@@ -313,7 +313,12 @@ def run_host_input_metric():
     try:
         from cris_tpu.data.host_bench import measure_host_pipeline
 
-        r = measure_host_pipeline(n_images=48, repeats=2, python_images=16)
+        # the chip rate is the last recorded eval headline (the host metric
+        # deliberately runs BEFORE the TPU metrics so relay stalls cannot
+        # block it); the note states the assumption (ADVICE r3)
+        chip_img_s = 791.5
+        r = measure_host_pipeline(n_images=48, repeats=2, python_images=16,
+                                  chip_img_s=chip_img_s)
         if "native_img_s" not in r:
             print(json.dumps({"metric": "host_input_pipeline_640x480",
                               "error": "native data plane unavailable"}),
@@ -326,8 +331,9 @@ def run_host_input_metric():
             "vs_baseline": round(r["native_img_s"] / r["python_img_s"], 3),
             "note": (
                 f"{r['host_cores']} core(s); per-core {r['native_1thread_img_s']}"
-                f" img/s -> {r['cores_to_feed_v5e8_at_780ips']} cores to feed a"
-                f" v5e-8; prewarped fast path {r['prewarped_img_s']} img/s/core"
+                f" img/s -> {r['cores_to_feed_v5e8']} cores to feed a"
+                f" v5e-8 at an assumed {chip_img_s} img/s/chip; prewarped fast"
+                f" path {r['prewarped_img_s']} img/s/core"
                 f" -> {r['cores_to_feed_v5e8_prewarped']} cores"
             ),
         }), flush=True)

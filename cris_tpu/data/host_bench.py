@@ -90,8 +90,15 @@ def measure_host_pipeline(
     repeats: int = 3,
     nthreads: Optional[int] = None,
     python_images: int = 24,
+    chip_img_s: float = 791.5,
 ) -> Dict:
     """Times both paths; returns rates and the v5e-8 feed extrapolation.
+
+    chip_img_s: assumed per-chip eval consumption rate for the
+    cores-to-feed arithmetic (default: the last recorded BENCH eval
+    headline). bench.py passes its own recorded rate and states the
+    assumption in the emitted note (ADVICE r3: the old hard-coded 780
+    silently understated the figure).
 
     Never benchmark identical repeated inputs through caches -- inputs are
     distinct images; each repeat re-runs the same batch (host decode has
@@ -131,10 +138,11 @@ def measure_host_pipeline(
         result["native_speedup_vs_python"] = round(
             result["native_img_s"] / result["python_img_s"], 2
         )
-        # feed a v5e-8 at the measured per-chip eval rate: how many host
+        # feed a v5e-8 at the assumed per-chip eval rate: how many host
         # cores of native preprocessing would a pod slice need
         per_core = result["native_1thread_img_s"]
-        result["cores_to_feed_v5e8_at_780ips"] = round(780 * 8 / per_core, 1)
+        result["assumed_chip_img_s"] = chip_img_s
+        result["cores_to_feed_v5e8"] = round(chip_img_s * 8 / per_core, 1)
 
     # prewarped fast path (tools/prewarp.py records): per-sample host work
     # collapses to a normalize -- the production answer when per-core
@@ -150,7 +158,7 @@ def measure_host_pipeline(
     )
     result["prewarped_img_s"] = round(n_images / t, 1)
     result["cores_to_feed_v5e8_prewarped"] = round(
-        780 * 8 / result["prewarped_img_s"], 1
+        chip_img_s * 8 / result["prewarped_img_s"], 1
     )
     return result
 

