@@ -216,3 +216,86 @@ def test_act_scales_save_load_roundtrip(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)), back, tree)
+
+
+def test_int8_audit_hook(monkeypatch):
+    """CRIS_INT8_AUDIT: every quantized site sows (max|err|, rms_err,
+    max|ref|, rms_ref); 'local' returns the bf16 result downstream
+    (pred == bf16 path exactly), 'compound' the int8 one."""
+    from cris_tpu.checkpoint import fold_batchnorm
+
+    monkeypatch.setenv("CRIS_INT8_MIN_CH", "1")
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(1, 49000, (2, 17)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, word, train=False)
+
+    folded_model = dataclasses.replace(model, fold_bn=True)
+    folded_vars = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+    ref = np.asarray(folded_model.apply(folded_vars, img, word, train=False))
+    quant_model = dataclasses.replace(folded_model, quant_int8=True)
+    q = np.asarray(quant_model.apply(folded_vars, img, word, train=False))
+
+    monkeypatch.setenv("CRIS_INT8_AUDIT", "local")
+    pred, mutated = quant_model.apply(
+        folded_vars, img, word, train=False, mutable=["quant_audit"])
+    leaves = jax.tree_util.tree_leaves(mutated["quant_audit"])
+    assert leaves, "no site engaged the audit hook"
+    for leaf in leaves:
+        v = np.asarray(leaf).reshape(-1)
+        assert v.shape == (4,)
+        max_err, rms_err, ref_max, ref_rms = v
+        assert 0 <= rms_err <= max_err
+        assert ref_max > 0 and ref_rms > 0
+        # per-site intrinsic error stays in the documented ~1% band
+        assert rms_err / ref_rms < 0.05, rms_err / ref_rms
+    # local mode: downstream sees the bf16 path -> output == bf16 output
+    np.testing.assert_allclose(np.asarray(pred), ref, rtol=1e-5, atol=1e-5)
+
+    monkeypatch.setenv("CRIS_INT8_AUDIT", "compound")
+    pred_c, mutated_c = quant_model.apply(
+        folded_vars, img, word, train=False, mutable=["quant_audit"])
+    assert jax.tree_util.tree_leaves(mutated_c["quant_audit"])
+    # compound mode: downstream sees the int8 path -> output == plain
+    # (audit-off) int8 output
+    np.testing.assert_allclose(np.asarray(pred_c), q, rtol=1e-5, atol=1e-5)
+
+
+def test_percentile_calibration(monkeypatch):
+    """CRIS_INT8_CALIB_PCT: percentile scales are strictly below maxabs
+    scales on heavy-tailed activations, and the static path still
+    reproduces the f32 forward within the PTQ error band."""
+    from cris_tpu.checkpoint import calibrate_act_scales, fold_batchnorm
+
+    monkeypatch.setenv("CRIS_INT8_MIN_CH", "1")
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(1, 49000, (2, 17)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, word, train=False)
+
+    folded_model = dataclasses.replace(model, fold_bn=True)
+    folded_vars = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+    ref = np.asarray(folded_model.apply(folded_vars, img, word, train=False))
+    quant_model = dataclasses.replace(folded_model, quant_int8=True)
+
+    scales_max = calibrate_act_scales(quant_model, folded_vars, [(img, word)])
+    monkeypatch.setenv("CRIS_INT8_CALIB_PCT", "99.0")
+    scales_pct = calibrate_act_scales(quant_model, folded_vars, [(img, word)])
+    monkeypatch.delenv("CRIS_INT8_CALIB_PCT")
+
+    pairs = list(zip(jax.tree_util.tree_leaves(scales_pct),
+                     jax.tree_util.tree_leaves(scales_max)))
+    assert pairs
+    assert all(float(p) <= float(m) for p, m in pairs)
+    # continuous activations: p99 < max strictly on at least most sites
+    strict = sum(float(p) < float(m) for p, m in pairs)
+    assert strict >= len(pairs) * 0.8, (strict, len(pairs))
+
+    got = np.asarray(quant_model.apply(
+        {**folded_vars, "quant": scales_pct}, img, word, train=False))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert 0 < rel < 0.1, rel
