@@ -16,6 +16,10 @@ Metrics (all batch 32, 416x416, bf16, per chip):
      host (decode+warp+normalize of 640x480 JPEGs to 416^2).
      vs_baseline = native/python-path rate: the speedup over the
      reference-style per-sample Python worker on the same cores.
+  5. cris_r50_eval_int8_throughput_416px_b32 -- the opt-in int8 serving
+     mode (static-calibrated activation scales, ops/quant.py); NOT the
+     parity path (quantization error ~1%/conv). vs_baseline = value/100
+     like metric 1. Round-4 A/B: 826.2 vs 792.4 bf16 (tools/ab_int8.py).
 
 Methodology: each loop runs as ONE jitted lax.scan over n pre-generated
 device-resident batches (how a production loop feeds a TPU), timed at two
@@ -48,7 +52,7 @@ def _dbg(msg):
 BATCH = 32
 N_SHORT = 2
 N_LONG = 12
-DEADLINE_S = float(os.environ.get("CRIS_BENCH_DEADLINE", "780"))
+DEADLINE_S = float(os.environ.get("CRIS_BENCH_DEADLINE", "960"))
 STALL_S = 30.0  # a 2-step scan normally returns in <1s; >30s = relay stall
 START = time.monotonic()
 
@@ -56,6 +60,8 @@ BASELINES = {
     "cris_r50_eval_throughput_416px_b32": 100.0,   # est. reference A100 rate
     "cris_r50_train_throughput_416px_b32": 213.0,  # our round-1 rate
     "cris_r101_eval_throughput_416px_b32": 638.0,  # our round-1 rate
+    # same A100-estimate denominator as the headline eval metric
+    "cris_r50_eval_int8_throughput_416px_b32": 100.0,
 }
 
 
@@ -372,12 +378,27 @@ def main():
             lambda: make_train_bench("RN50"),
             budget_s=time_left() - 150.0, trials=2, required=False,
         )
-    if time_left() > 90:
+    if time_left() > 150:
         run_metric(
             "cris_r101_eval_throughput_416px_b32",
             lambda: make_eval_bench("RN101"),
-            budget_s=time_left() - 10.0, trials=2, required=False,
+            budget_s=time_left() - 90.0, trials=2, required=False,
         )
+    # int8-static serving mode (opt-in, beyond-reference; round-4 A/B
+    # +4.3% over bf16). Env gates must stay set through tracing (they
+    # are read at trace time in QuantConv), so pop only after measuring.
+    if time_left() > 75:
+        os.environ["CRIS_INT8"] = "1"
+        os.environ["CRIS_INT8_STATIC"] = "1"
+        try:
+            run_metric(
+                "cris_r50_eval_int8_throughput_416px_b32",
+                lambda: make_eval_bench("RN50"),
+                budget_s=time_left() - 10.0, trials=2, required=False,
+            )
+        finally:
+            os.environ.pop("CRIS_INT8", None)
+            os.environ.pop("CRIS_INT8_STATIC", None)
 
 
 if __name__ == "__main__":

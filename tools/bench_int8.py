@@ -86,15 +86,17 @@ def main():
         return block
 
     def scan_of(block):
-        @functools.partial(jax.jit, static_argnums=0)
-        def run(n_iters, x, *w):
-            def body(carry, _):
-                y = block(carry, *w)
-                nxt = (0.9 * y.astype(jnp.float32)
-                       + 0.1 * jnp.roll(y.astype(jnp.float32), 1, axis=-1))
-                return nxt.astype(x.dtype), y.astype(jnp.float32).mean()
-            _, ms = jax.lax.scan(body, x, None, length=n_iters)
-            return ms.sum()
+        # scan over PRE-GENERATED distinct inputs: chaining the output
+        # back as carry breaks when cout != cin (the round-4 backlog run
+        # crashed on 52x52 512->128), and distinct inputs per iteration
+        # are required anyway (relay value-cache)
+        @jax.jit
+        def run(xs, *w):
+            def body(acc, x):
+                y = block(x, *w)
+                return acc + y.astype(jnp.float32).mean(), None
+            acc, _ = jax.lax.scan(body, 0.0, xs)
+            return acc
         return run
 
     summary = []
@@ -131,33 +133,40 @@ def main():
             ("int8_static", make_int8_static_block(s_static),
              (x_bf, kq, w_scale, b)),
         ]
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def make_inputs(seed, n):
+            def gen(i):
+                return 0.5 * jax.random.normal(
+                    jax.random.PRNGKey(seed + i),
+                    (BATCH, h, w, cin), jnp.float32).astype(jnp.bfloat16)
+            return jax.vmap(gen)(jnp.arange(n))
+
+        # relay timing jitter is ~2-4 ms/dispatch; at sub-ms-per-iter
+        # shapes a 10-iteration marginal drowns in it (the round-4 run's
+        # negative marginals) -- use an 80-iteration span instead
+        N_SHORT, N_LONG = 8, 88
         per_ms = {}
         for name, block, args in variants:
             run = scan_of(block)
-
-            def vary(x0, rep):
-                # different buffer contents per dispatch: the relay
-                # value-caches identical dispatches (CLAUDE.md), which
-                # would zero out repeat timings (roll, not a *= epsilon:
-                # sub-ulp bf16 perturbations can round away)
-                return jnp.roll(x0, rep, axis=1)
-
             ts = {}
-            for n in (2, 12):
+            for n in (N_SHORT, N_LONG):
+                xs = make_inputs(11 + n, n)
+                jax.block_until_ready(xs)
                 t0 = time.monotonic()
-                float(run(n, *args))
+                float(run(xs, *args[1:]))
                 tc = time.monotonic() - t0
                 best = 1e9
                 for rep in range(1, 4):
-                    xv = vary(args[0], rep)
-                    jax.block_until_ready(xv)
+                    xs = make_inputs(1000 + 31 * rep + n, n)
+                    jax.block_until_ready(xs)
                     t0 = time.monotonic()
-                    float(run(n, xv, *args[1:]))
+                    float(run(xs, *args[1:]))
                     best = min(best, time.monotonic() - t0)
                 ts[n] = best
+                del xs
                 print(f"  {name} n={n}: compile+1st {tc:.1f}s, "
                       f"best {best * 1e3:.1f}ms", flush=True)
-            per = (ts[12] - ts[2]) / 10 * 1e3
+            per = (ts[N_LONG] - ts[N_SHORT]) / (N_LONG - N_SHORT) * 1e3
             per_ms[name] = per
             flops = 2 * BATCH * h * w * cin * cout * ks * ks
             print(f"  {name} [{tag}] marginal {per:.3f} ms "

@@ -28,8 +28,13 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--pct", type=float, default=0.0,
+                    help="calibrate to this percentile of |x| instead of "
+                    "maxabs (e.g. 99.9; outlier-robust, clips the tail)")
     ap.add_argument("--opts", nargs=argparse.REMAINDER, default=None)
     args = ap.parse_args()
+    if args.pct:
+        os.environ["CRIS_INT8_CALIB_PCT"] = str(args.pct)
 
     from cris_tpu import cli
     from cris_tpu.utils.config import (
