@@ -23,7 +23,8 @@ from flax import linen as nn
 from ..ops.attention import dot_product_attention
 from ..ops.resize import avg_pool2d, resize2d
 from .layers import (
-    BatchNorm, ConvParams, PooledConv1x1, QuantConv, quant_int8_enabled,
+    BatchNorm, ConvParams, PooledConv1x1, QuantConv, S2dPooledConv1x1,
+    quant_int8_enabled,
 )
 
 Dtype = Any
@@ -42,6 +43,23 @@ def _auto_fuse_pool(fuse_pool: Optional[bool], dtype) -> bool:
     return dtype is not None and jnp.dtype(dtype) != jnp.float32
 
 
+def _auto_s2d(s2d_stem: Optional[bool], dtype) -> bool:
+    """Run the stem in space-to-depth layout (ops/s2d.py)?
+
+    Default: yes for sub-f32 compute dtypes — the round-4 conv audit
+    measured the plain stem's 208^2 low-channel convs at 1.3-13% of MXU
+    peak, and the s2d-resident forms are exact weight rearrangements at
+    >=128-wide matmuls. f32 keeps the reference op order for the parity
+    harness. CRIS_S2D_STEM=0/1 overrides (A/B hook); the module arg wins.
+    """
+    if s2d_stem is not None:
+        return s2d_stem
+    env = os.environ.get("CRIS_S2D_STEM")
+    if env in ("0", "1"):
+        return env == "1"
+    return dtype is not None and jnp.dtype(dtype) != jnp.float32
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -50,6 +68,10 @@ class Bottleneck(nn.Module):
     in_pool: int = 1  # fused stride-`in_pool` avg pool on the block input
     fuse_pool: Optional[bool] = None  # None = auto by dtype
     quant_int8: bool = False  # opt-in int8 serving path (fold_bn eval only)
+    # the block input is space-to-depth-resident (ops/s2d.py; only valid
+    # with in_pool == 2 + fused pools): conv1/downsample consume it as
+    # exact 1x1 convs and everything downstream is normal-layout
+    in_s2d: bool = False
 
     expansion: int = 4
 
@@ -101,6 +123,11 @@ class Bottleneck(nn.Module):
 
         def conv(features, ksize, name, pool=1):
             if pool > 1:
+                if self.in_s2d:
+                    return S2dPooledConv1x1(
+                        features, use_bias=self.fold_bn, dtype=self.dtype,
+                        name=name,
+                    )
                 return PooledConv1x1(
                     features, pool, use_bias=self.fold_bn, dtype=self.dtype,
                     name=name,
@@ -221,6 +248,7 @@ class ModifiedResNet(nn.Module):
     fuse_pool: Optional[bool] = None  # None = auto by dtype (see Bottleneck)
     pos_grid: Optional[int] = None  # pre-folded attnpool pos-embed grid
     quant_int8: bool = False  # opt-in int8 serving path (fold_bn eval only)
+    s2d_stem: Optional[bool] = None  # None = auto by dtype (see _auto_s2d)
 
     @nn.compact
     def __call__(
@@ -265,6 +293,19 @@ class ModifiedResNet(nn.Module):
                 and x.shape[2] % (2 * _STEM_ROWS) == 0
             )
 
+        # Space-to-depth stem (ops/s2d.py): conv1 produces the s2d layout
+        # directly (k5/s4), conv2/conv3 stay s2d-resident as dense k3
+        # convs at 4x channels, and layer1_0's fused-pool convs exit the
+        # region as exact 1x1s — transpose-free, same parameter tree.
+        # Requires fused pools (the exit op) and H, W % 4 == 0.
+        stem_s2d = (
+            _auto_s2d(self.s2d_stem, self.dtype)
+            and fuse
+            and not use_pallas_stem
+            and x.shape[1] % 4 == 0
+            and x.shape[2] % 4 == 0
+        )
+
         if use_pallas_stem:
             from ..ops.pallas.stem import fused_stem_pool
 
@@ -277,6 +318,29 @@ class ModifiedResNet(nn.Module):
                 interpret=pallas_interpret(),
             )
             stem_pooled = True
+        elif stem_s2d:
+            from ..ops.s2d import conv3x3_s2d, stem_conv1_s2d
+
+            def s2d_bn(features, name):
+                if self.fold_bn:
+                    return lambda x, train: x
+                return BatchNorm(features, dtype=self.dtype, phases=4,
+                                 name=name)
+
+            k1, b1 = ConvParams((3, 3, 3, w // 2), use_bias=self.fold_bn,
+                                name="conv1")()
+            k2, b2 = ConvParams((3, 3, w // 2, w // 2),
+                                use_bias=self.fold_bn, name="conv2")()
+            k3, b3 = ConvParams((3, 3, w // 2, w), use_bias=self.fold_bn,
+                                name="conv3")()
+            dt = self.dtype or x.dtype
+            x = nn.relu(s2d_bn(w // 2, "bn1")(
+                stem_conv1_s2d(x, k1, b1, dt), train))
+            x = nn.relu(s2d_bn(w // 2, "bn2")(
+                conv3x3_s2d(x, k2, b2, dt), train))
+            x = nn.relu(s2d_bn(w, "bn3")(
+                conv3x3_s2d(x, k3, b3, dt), train))
+            stem_pooled = False
         else:
             x = x.astype(self.dtype or x.dtype)
             x = nn.relu(stem_bn(w // 2, "bn1")(stem_conv(w // 2, 2, "conv1")(x), train))
@@ -293,7 +357,8 @@ class ModifiedResNet(nn.Module):
             nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
         )
 
-        def stage(x, planes, blocks, stride, stage_idx, in_pool=1):
+        def stage(x, planes, blocks, stride, stage_idx, in_pool=1,
+                  in_s2d=False):
             """First block (stride / channel change, carries the downsample
             branch) stands alone as layer{s}_0; the remaining blocks are
             identical stride-1 bottlenecks and run as one nn.scan over
@@ -303,7 +368,7 @@ class ModifiedResNet(nn.Module):
             x = block_cls(
                 planes, stride, dtype=self.dtype, fold_bn=self.fold_bn,
                 in_pool=in_pool, fuse_pool=self.fuse_pool,
-                quant_int8=self.quant_int8,
+                quant_int8=self.quant_int8, in_s2d=in_s2d,
                 name=f"layer{stage_idx}_0",
             )(x, train)
             if blocks <= 1:
@@ -316,11 +381,15 @@ class ModifiedResNet(nn.Module):
                 body = nn.remat(body, prevent_cse=False)
             scan = nn.scan(
                 body,
-                # quant/quant_stats: per-layer int8 activation scales /
-                # calibration maxabs (QuantConv); absent collections are
-                # ignored by nn.scan
+                # quant/quant_stats/quant_audit: per-layer int8 activation
+                # scales / calibration maxabs / audit error stats
+                # (QuantConv); absent collections are ignored by nn.scan,
+                # but an UNDECLARED one makes in-scan sows silent no-ops
+                # (the round-4 int8 audit initially saw only the 6
+                # non-scanned sites)
                 variable_axes={"params": 0, "batch_stats": 0,
-                               "quant": 0, "quant_stats": 0},
+                               "quant": 0, "quant_stats": 0,
+                               "quant_audit": 0},
                 split_rngs={"params": True},
                 length=blocks - 1,
                 unroll=min(self.scan_unroll or (blocks - 1), blocks - 1),
@@ -334,7 +403,8 @@ class ModifiedResNet(nn.Module):
             return x
 
         x = stage(x, w, self.layers[0], 1, 1,
-                  in_pool=1 if (stem_pooled or not fuse) else 2)
+                  in_pool=1 if (stem_pooled or not fuse) else 2,
+                  in_s2d=stem_s2d)
         x2 = stage(x, w * 2, self.layers[1], 2, 2)
         x3 = stage(x2, w * 4, self.layers[2], 2, 3)
         x4 = stage(x3, w * 8, self.layers[3], 2, 4)

@@ -71,6 +71,45 @@ class PooledConv1x1(nn.Module):
         return y
 
 
+class S2dPooledConv1x1(nn.Module):
+    """PooledConv1x1(features, pool=2) consuming a space-to-depth-resident
+    input (ops/s2d.py): the k2x2/stride-2 expansion over pixels is an
+    EXACT 1x1 conv over s2d cells, producing normal-layout output at cell
+    resolution (the s2d stem region's exit op). Parameter tree is
+    identical to PooledConv1x1 / nn.Conv(features, (1, 1)) — the declared
+    cin is the ORIGINAL channel count (input.shape[-1] // 4)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.s2d import embed_pool2_conv1x1_s2d
+
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, cin, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            embed_pool2_conv1x1_s2d(kernel).astype(dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(dtype)
+        return y
+
+
 def quant_int8_enabled(flag: bool) -> bool:
     """Is the int8 serving path on? Module flag (``precision: int8``) or
     the CRIS_INT8 env override (A/B tooling), read at trace time like the
@@ -126,33 +165,64 @@ class QuantConv(nn.Module):
         dtype = self.dtype or x.dtype
         pad = [(ks // 2, ks // 2)] * 2
         strides = (self.strides, self.strides)
+        def plain():
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype), strides, pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + bias.astype(dtype)
+            return y
+
         if min(cin, self.features) >= min_ch:
             # calibration pass (checkpoint/calibrate.py drives this with
             # CRIS_INT8_CALIB=1 + mutable=["quant_stats"]): record the
-            # activation maxabs and run the PLAIN conv (scales unknown yet)
+            # activation range statistic and run the PLAIN conv (scales
+            # unknown yet). CRIS_INT8_CALIB_PCT=99.9 clips to a percentile
+            # of |x| instead of maxabs (outlier-robust PTQ; values beyond
+            # the calibrated range saturate at +-127).
             if os.environ.get("CRIS_INT8_CALIB") == "1":
+                pct = float(os.environ.get("CRIS_INT8_CALIB_PCT", "0") or 0)
+                ax = jnp.abs(x.astype(jnp.float32))
+                stat = (jnp.quantile(ax.reshape(-1), pct / 100.0)
+                        if pct else jnp.max(ax))
                 self.sow(
-                    "quant_stats", "act_maxabs",
-                    jnp.max(jnp.abs(x.astype(jnp.float32))),
+                    "quant_stats", "act_maxabs", stat,
                     init_fn=lambda: jnp.zeros((), jnp.float32),
                     reduce_fn=jnp.maximum,
                 )
-            elif self.has_variable("quant", "act_scale"):
-                # calibrated static scale: the quantize pass has no reduce
-                # dependency, so it fuses into the producer's epilogue
-                s = self.get_variable("quant", "act_scale")
-                return int8_conv2d_static(
-                    x, kernel, s, strides, pad, bias).astype(dtype)
             else:
-                return int8_conv2d(x, kernel, strides, pad, bias
-                                   ).astype(dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype), strides, pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        if bias is not None:
-            y = y + bias.astype(dtype)
-        return y
+                if self.has_variable("quant", "act_scale"):
+                    # calibrated static scale: the quantize pass has no
+                    # reduce dependency, so it fuses into the producer's
+                    # epilogue
+                    s = self.get_variable("quant", "act_scale")
+                    got = int8_conv2d_static(
+                        x, kernel, s, strides, pad, bias).astype(dtype)
+                else:
+                    got = int8_conv2d(x, kernel, strides, pad, bias
+                                      ).astype(dtype)
+                # per-site error audit (tools/int8_error_audit.py): also
+                # run the plain conv, sow worst-case error stats; "local"
+                # feeds downstream the bf16 result (per-site intrinsic
+                # error), "compound" the int8 one (production propagation)
+                audit = os.environ.get("CRIS_INT8_AUDIT", "")
+                if audit in ("1", "local", "compound"):
+                    ref = plain()
+                    rf = ref.astype(jnp.float32)
+                    err = got.astype(jnp.float32) - rf
+                    self.sow(
+                        "quant_audit", "err_stats",
+                        jnp.stack([jnp.max(jnp.abs(err)),
+                                   jnp.sqrt(jnp.mean(err * err)),
+                                   jnp.max(jnp.abs(rf)),
+                                   jnp.sqrt(jnp.mean(rf * rf))]),
+                        init_fn=lambda: jnp.zeros((4,), jnp.float32),
+                        reduce_fn=jnp.maximum,
+                    )
+                    return got if audit == "compound" else ref
+                return got
+        return plain()
 
 
 class BatchNorm(nn.Module):
@@ -170,9 +240,19 @@ class BatchNorm(nn.Module):
     eps: float = 1e-5
     momentum: float = 0.1
     dtype: Optional[Dtype] = None
+    # phases > 1: the input is space-to-depth-resident (ops/s2d.py) with
+    # phases*features channels; statistics/affine act on the ORIGINAL
+    # `features` channels (each original pixel appears exactly once, so
+    # the math — and the running stats — are identical to the plain
+    # layout). Parameter tree is unchanged.
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        orig_shape = None
+        if self.phases > 1:
+            orig_shape = x.shape
+            x = x.reshape(x.shape[:-1] + (self.phases, self.features))
         initializing = self.is_initializing()
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
@@ -215,7 +295,10 @@ class BatchNorm(nn.Module):
             y = x.astype(jnp.float32) * inv + shift
         else:
             y = x.astype(out_dtype) * inv.astype(out_dtype) + shift.astype(out_dtype)
-        return y.astype(out_dtype)
+        y = y.astype(out_dtype)
+        if orig_shape is not None:
+            y = y.reshape(orig_shape)
+        return y
 
 
 class LayerNormF32(nn.Module):
