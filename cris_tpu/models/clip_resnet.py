@@ -68,10 +68,18 @@ class Bottleneck(nn.Module):
     in_pool: int = 1  # fused stride-`in_pool` avg pool on the block input
     fuse_pool: Optional[bool] = None  # None = auto by dtype
     quant_int8: bool = False  # opt-in int8 serving path (fold_bn eval only)
-    # the block input is space-to-depth-resident (ops/s2d.py; only valid
-    # with in_pool == 2 + fused pools): conv1/downsample consume it as
-    # exact 1x1 convs and everything downstream is normal-layout
+    # the block input is space-to-depth-resident (ops/s2d.py; requires
+    # fused pools). With s2d_out=False and in_pool == 2 (tier 1),
+    # conv1/downsample consume it as exact 1x1 convs and everything
+    # downstream is normal-layout; with in_pool == 1 and stride > 1 the
+    # block is the s2d region's EXIT (conv1 consumes s2d, d2s before the
+    # 3x3, downsample consumes s2d directly as a 1x1).
     in_s2d: bool = False
+    # produce s2d-resident output: with in_pool == 2 this is the region
+    # ENTRY (pooled convs emit s2d one cell level down); with in_pool ==
+    # 1 a fully s2d-RESIDENT stride-1 identity block (layer1 tails).
+    # Only stride == 1 blocks are supported.
+    s2d_out: bool = False
 
     expansion: int = 4
 
@@ -94,7 +102,7 @@ class Bottleneck(nn.Module):
         # keeps the XLA path regardless: train-mode BN needs cross-batch
         # statistics that don't fit the per-image program model.
         if (self.fold_bn and not train and self.stride == 1 and in_pool == 1
-                and inplanes == out_planes):
+                and inplanes == out_planes and not self.in_s2d):
             from ..ops.pallas import pallas_enabled, pallas_interpret
             from ..ops.pallas.bottleneck import fused_bottleneck, supports_shape
 
@@ -121,9 +129,11 @@ class Bottleneck(nn.Module):
         use_quant = (self.fold_bn and not train
                      and quant_int8_enabled(self.quant_int8))
 
-        def conv(features, ksize, name, pool=1):
+        def conv(features, ksize, name, pool=1, s2d_in=False):
             if pool > 1:
-                if self.in_s2d:
+                if s2d_in:
+                    # the pooled conv consumes an s2d-resident input as
+                    # an exact 1x1 (the s2d region's tier-1 exit)
                     return S2dPooledConv1x1(
                         features, use_bias=self.fold_bn, dtype=self.dtype,
                         name=name,
@@ -152,8 +162,78 @@ class Bottleneck(nn.Module):
                 return lambda x, train: x
             return BatchNorm(features, dtype=self.dtype, name=name)
 
+        if self.in_s2d and (self.s2d_out or in_pool == 1):
+            # s2d-resident bodies (ops/s2d.py): ENTRY (in_pool=2 +
+            # s2d_out: pooled convs emit s2d one cell level down),
+            # RESIDENT (s2d_out, stride-1 identity block entirely in s2d
+            # layout -- the layer1 tail scan), EXIT (stride-2 first
+            # block: conv1 consumes s2d then d2s, downsample consumes
+            # s2d directly as an exact 1x1). The round-4 microbench:
+            # dense block-diagonal 1x1s run 2.3-3.5x faster than the
+            # thin 104^2 64-ch originals; grouped convs are pathological
+            # on TPU (tools/bench_s2d.py).
+            from ..ops.s2d import (
+                conv1x1_s2d, conv3x3_s2d, depth_to_space,
+                pool2_conv1x1_s2d_to_s2d,
+            )
+
+            dt = self.dtype or x.dtype
+            cin = x.shape[-1] // 4
+
+            def cparams(shape, name):
+                return ConvParams(shape, use_bias=self.fold_bn,
+                                  name=name)()
+
+            def bn4(features, name):
+                if self.fold_bn:
+                    return lambda v, train: v
+                return BatchNorm(features, dtype=self.dtype, phases=4,
+                                 name=name)
+
+            if self.s2d_out:
+                k1, b1 = cparams((1, 1, cin, self.planes), "conv1")
+                h = (pool2_conv1x1_s2d_to_s2d(x, k1, b1, dt)
+                     if in_pool == 2 else conv1x1_s2d(x, k1, b1, dt))
+                out = nn.relu(bn4(self.planes, "bn1")(h, train))
+                k2, b2 = cparams((3, 3, self.planes, self.planes),
+                                 "conv2")
+                out = nn.relu(bn4(self.planes, "bn2")(
+                    conv3x3_s2d(out, k2, b2, dt), train))
+                k3, b3 = cparams((1, 1, self.planes, out_planes), "conv3")
+                out = bn4(out_planes, "bn3")(
+                    conv1x1_s2d(out, k3, b3, dt), train)
+                if in_pool == 2 or cin != out_planes:
+                    kd, bd = cparams((1, 1, cin, out_planes),
+                                     "downsample_conv")
+                    identity = (pool2_conv1x1_s2d_to_s2d(x, kd, bd, dt)
+                                if in_pool == 2
+                                else conv1x1_s2d(x, kd, bd, dt))
+                    identity = bn4(out_planes, "downsample_bn")(
+                        identity, train)
+                else:
+                    identity = x
+                return nn.relu(out + identity)
+
+            # EXIT block (stride 2): back to normal layout for the
+            # (already-efficient) 3x3; downsample reads the s2d input
+            # directly -- its pool window IS one s2d cell.
+            k1, b1 = cparams((1, 1, cin, self.planes), "conv1")
+            out = nn.relu(bn4(self.planes, "bn1")(
+                conv1x1_s2d(x, k1, b1, dt), train))
+            out = depth_to_space(out)
+            out = nn.relu(bn(self.planes, "bn2")(
+                conv(self.planes, 3, "conv2")(out), train))
+            out = bn(out_planes, "bn3")(
+                conv(out_planes, 1, "conv3", pool=self.stride)(out), train)
+            identity = S2dPooledConv1x1(
+                out_planes, use_bias=self.fold_bn, dtype=self.dtype,
+                name="downsample_conv")(x)
+            identity = bn(out_planes, "downsample_bn")(identity, train)
+            return nn.relu(out + identity)
+
         out = nn.relu(bn(self.planes, "bn1")(
-            conv(self.planes, 1, "conv1", pool=in_pool)(x), train))
+            conv(self.planes, 1, "conv1", pool=in_pool,
+                 s2d_in=self.in_s2d)(x), train))
         out = nn.relu(bn(self.planes, "bn2")(
             conv(self.planes, 3, "conv2")(out), train))
         if self.stride > 1 and not fuse:
@@ -170,6 +250,7 @@ class Bottleneck(nn.Module):
             identity = conv(
                 out_planes, 1, "downsample_conv",
                 pool=max(self.stride, in_pool) if fuse else 1,
+                s2d_in=self.in_s2d,
             )(identity)
             identity = bn(out_planes, "downsample_bn")(identity, train)
         return nn.relu(out + identity)
@@ -358,7 +439,7 @@ class ModifiedResNet(nn.Module):
         )
 
         def stage(x, planes, blocks, stride, stage_idx, in_pool=1,
-                  in_s2d=False):
+                  in_s2d=False, s2d_out=False):
             """First block (stride / channel change, carries the downsample
             branch) stands alone as layer{s}_0; the remaining blocks are
             identical stride-1 bottlenecks and run as one nn.scan over
@@ -369,6 +450,7 @@ class ModifiedResNet(nn.Module):
                 planes, stride, dtype=self.dtype, fold_bn=self.fold_bn,
                 in_pool=in_pool, fuse_pool=self.fuse_pool,
                 quant_int8=self.quant_int8, in_s2d=in_s2d,
+                s2d_out=s2d_out,
                 name=f"layer{stage_idx}_0",
             )(x, train)
             if blocks <= 1:
@@ -397,15 +479,23 @@ class ModifiedResNet(nn.Module):
             tail = Bottleneck(
                 planes, 1, dtype=self.dtype, fold_bn=self.fold_bn,
                 fuse_pool=self.fuse_pool, quant_int8=self.quant_int8,
+                # when the stage emits s2d, its tail blocks run fully
+                # s2d-RESIDENT (stride-1 identity blocks)
+                in_s2d=s2d_out, s2d_out=s2d_out,
                 name=f"layer{stage_idx}_tail",
             )
             x, _ = scan(tail, x, None)
             return x
 
+        # Tier 2 (CRIS_S2D_L1, default on with the s2d stem): layer1 runs
+        # fully s2d-resident at quarter spatial / 4x channels and
+        # layer2_0 is the region's exit -- the microbenched net win over
+        # tier 1 alone is ~4 ms/step at b32 (tools/bench_s2d.py).
+        s2d_l1 = stem_s2d and os.environ.get("CRIS_S2D_L1", "1") == "1"
         x = stage(x, w, self.layers[0], 1, 1,
                   in_pool=1 if (stem_pooled or not fuse) else 2,
-                  in_s2d=stem_s2d)
-        x2 = stage(x, w * 2, self.layers[1], 2, 2)
+                  in_s2d=stem_s2d, s2d_out=s2d_l1)
+        x2 = stage(x, w * 2, self.layers[1], 2, 2, in_s2d=s2d_l1)
         x3 = stage(x2, w * 4, self.layers[2], 2, 3)
         x4 = stage(x3, w * 8, self.layers[3], 2, 4)
 

@@ -117,6 +117,34 @@ def embed_pool2_conv1x1_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
     return jnp.tile(kernel[0, 0] * 0.25, (4, 1)).reshape(1, 1, 4 * c, d)
 
 
+def embed_conv1x1_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, C, D) 1x1 kernel -> its (1, 1, 4C, 4D) block-diagonal
+    s2d-resident equivalent (each phase maps independently). 4x nominal
+    FLOPs as a dense conv, but measured 2.3-3.5x FASTER wall than the
+    thin originals at the layer1 shapes (52^2 dense 256->1024: 0.17 ms vs
+    104^2 64->256: 0.60; grouped convs are pathological on TPU -- 0.57 --
+    so dense block-diag is the right lowering)."""
+    c, d = kernel.shape[2], kernel.shape[3]
+    w = kernel[0, 0]
+    wb = jnp.einsum("gh,cd->gchd", jnp.eye(4, dtype=w.dtype), w)
+    return wb.reshape(4 * c, 4 * d).reshape(1, 1, 4 * c, 4 * d)
+
+
+def embed_pool2_conv1x1_s2d_to_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, C, D) kernel of an ``avg_pool(2) -> 1x1 conv`` -> the
+    (2, 2, 4C, 4D) kernel computing it FROM an s2d-resident input INTO an
+    s2d-resident output one cell level down (input s2d of a 2H x 2W grid,
+    output s2d of the H x W pooled grid). Output phase (p, q) reads only
+    window position (A, B) = (p, q) — that cell holds exactly the 2x2
+    pixel block the pool averages. Use with stride (2, 2), VALID."""
+    c, d = kernel.shape[2], kernel.shape[3]
+    w = jnp.broadcast_to(kernel[0, 0] * 0.25, (4, c, d))
+    out = jnp.zeros((2, 2, 4, c, 4, d), kernel.dtype)
+    for pq in range(4):
+        out = out.at[pq // 2, pq % 2, :, :, pq, :].set(w)
+    return out.reshape(2, 2, 4 * c, 4 * d)
+
+
 def _bias4(bias):
     return None if bias is None else jnp.tile(bias, 4)
 
@@ -141,6 +169,30 @@ def conv3x3_s2d(x: jnp.ndarray, kernel: jnp.ndarray, bias, dtype
     w = embed_conv3x3_s2d(kernel).astype(dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b = _bias4(bias)
+    return y if b is None else y + b.astype(dtype)
+
+
+def conv1x1_s2d(x: jnp.ndarray, kernel: jnp.ndarray, bias, dtype
+                ) -> jnp.ndarray:
+    """1x1 conv applied to an s2d-resident tensor, staying s2d."""
+    w = embed_conv1x1_s2d(kernel).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b = _bias4(bias)
+    return y if b is None else y + b.astype(dtype)
+
+
+def pool2_conv1x1_s2d_to_s2d(x: jnp.ndarray, kernel: jnp.ndarray, bias,
+                             dtype) -> jnp.ndarray:
+    """avg_pool(2) -> 1x1 conv from an s2d-resident input to an
+    s2d-resident output one cell level down ((B, H, W, 4C) ->
+    (B, H/2, W/2, 4D))."""
+    w = embed_pool2_conv1x1_s2d_to_s2d(kernel).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w, (2, 2), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     b = _bias4(bias)
     return y if b is None else y + b.astype(dtype)

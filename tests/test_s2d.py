@@ -89,9 +89,55 @@ def test_bottleneck_in_s2d_matches_external_pool():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_bottleneck_s2d_entry_matches_external_pool():
+    """Tier-2 ENTRY: pooled convs emit s2d one cell level down."""
+    y = _rand((2, 16, 16, 8), 17)
+    ref = Bottleneck(planes=4, stride=1)
+    ent = Bottleneck(planes=4, stride=1, in_pool=2, fuse_pool=True,
+                     in_s2d=True, s2d_out=True)
+    v = ref.init(jax.random.PRNGKey(2), avg_pool2d(y, 2), train=False)
+    a = ref.apply(v, avg_pool2d(y, 2), train=False)
+    b = ent.apply(v, space_to_depth(y), train=False)
+    np.testing.assert_allclose(
+        np.asarray(space_to_depth(a)), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_bottleneck_s2d_resident_matches_plain(train):
+    """Tier-2 RESIDENT: stride-1 identity block entirely in s2d layout
+    (the layer1 tail scan body)."""
+    x = _rand((2, 8, 8, 16), 18)
+    ref = Bottleneck(planes=4, stride=1)
+    res = Bottleneck(planes=4, stride=1, fuse_pool=True,
+                     in_s2d=True, s2d_out=True)
+    v = ref.init(jax.random.PRNGKey(3), x, train=False)
+    kw = dict(mutable=["batch_stats"]) if train else {}
+    a = ref.apply(v, x, train=train, **kw)
+    b = res.apply(v, space_to_depth(x), train=train, **kw)
+    if train:
+        (a, sa), (b, sb) = a, b
+        stats = jax.tree_util.tree_map(
+            lambda p, q: float(jnp.abs(p - q).max()), sa, sb)
+        assert max(jax.tree_util.tree_leaves(stats)) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(space_to_depth(a)), np.asarray(b), atol=1e-4)
+
+
+def test_bottleneck_s2d_exit_matches_plain():
+    """Tier-2 EXIT: stride-2 block consuming s2d input, normal output."""
+    x = _rand((2, 8, 8, 16), 19)
+    ref = Bottleneck(planes=4, stride=2, fuse_pool=True)
+    ext = Bottleneck(planes=4, stride=2, fuse_pool=True, in_s2d=True)
+    v = ref.init(jax.random.PRNGKey(4), x, train=False)
+    a = ref.apply(v, x, train=False)
+    b = ext.apply(v, space_to_depth(x), train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 @pytest.mark.parametrize("train", [False, True])
 def test_modified_resnet_s2d_matches_plain(train):
-    net_kw = dict(layers=(1, 1, 1, 1), output_dim=32, heads=2,
+    # layers[0] = 2 exercises the scanned s2d-RESIDENT tail
+    net_kw = dict(layers=(2, 1, 1, 1), output_dim=32, heads=2,
                   input_resolution=64, width=16)
     ref = ModifiedResNet(**net_kw)
     s2d = ModifiedResNet(fuse_pool=True, s2d_stem=True, **net_kw)

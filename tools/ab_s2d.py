@@ -38,16 +38,20 @@ def main():
     print("devices:", jax.devices(), flush=True)
     probe()
 
+    settings = (
+        {"CRIS_S2D_STEM": "0"},                          # off
+        {"CRIS_S2D_STEM": "1", "CRIS_S2D_L1": "0"},      # tier 1: stem only
+        {"CRIS_S2D_STEM": "1", "CRIS_S2D_L1": "1"},      # tier 2: + layer1
+    )
     modes = ([("eval", bench.make_eval_bench)] if args.eval else []) + \
             ([("train", bench.make_train_bench)] if args.train else [])
     for mode, maker in modes:
-        results = env_ab("CRIS_S2D_STEM", ("0", "1"),
+        results = env_ab("CRIS_S2D_STEM", settings,
                          lambda: maker(args.preset),
                          batch=args.batch, label=f"{mode} s2d")
-        off, on = results["0"], results["1"]
-        print(f"\n{mode.upper()} RESULT: off {off[0]:.2f}ms ({off[1]:.1f} "
-              f"img/s)  on {on[0]:.2f}ms ({on[1]:.1f} img/s)  "
-              f"delta {off[0] - on[0]:+.2f}ms\n", flush=True)
+        line = "  ".join(f"[{k}] {ms:.2f}ms ({rate:.1f} img/s)"
+                         for k, (ms, rate) in results.items())
+        print(f"\n{mode.upper()} RESULT: {line}\n", flush=True)
 
 
 if __name__ == "__main__":
