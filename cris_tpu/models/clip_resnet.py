@@ -487,11 +487,15 @@ class ModifiedResNet(nn.Module):
             x, _ = scan(tail, x, None)
             return x
 
-        # Tier 2 (CRIS_S2D_L1, default on with the s2d stem): layer1 runs
-        # fully s2d-resident at quarter spatial / 4x channels and
-        # layer2_0 is the region's exit -- the microbenched net win over
-        # tier 1 alone is ~4 ms/step at b32 (tools/bench_s2d.py).
-        s2d_l1 = stem_s2d and os.environ.get("CRIS_S2D_L1", "1") == "1"
+        # Tier 2 (CRIS_S2D_L1=1, opt-in): layer1 runs fully s2d-resident
+        # at quarter spatial / 4x channels and layer2_0 is the region's
+        # exit. MEASURED NEGATIVE in-model despite every resident conv
+        # winning standalone (tools/ab_s2d.py: eval 887.9 -> 829.6
+        # img/s, train 218.6 -> 200.9): the entry/exit crossing convs
+        # (pool2-to-s2d kernels, 4x zero-padded FLOPs) + the exit d2s
+        # eat the resident wins. Region-level wiring candidates in
+        # tools/bench_s2d_region.py; default stays tier 1.
+        s2d_l1 = stem_s2d and os.environ.get("CRIS_S2D_L1", "0") == "1"
         x = stage(x, w, self.layers[0], 1, 1,
                   in_pool=1 if (stem_pooled or not fuse) else 2,
                   in_s2d=stem_s2d, s2d_out=s2d_l1)

@@ -135,8 +135,11 @@ def test_bottleneck_s2d_exit_matches_plain():
 
 
 @pytest.mark.parametrize("train", [False, True])
-def test_modified_resnet_s2d_matches_plain(train):
-    # layers[0] = 2 exercises the scanned s2d-RESIDENT tail
+@pytest.mark.parametrize("l1", ["0", "1"])
+def test_modified_resnet_s2d_matches_plain(train, l1, monkeypatch):
+    # l1="1" (opt-in tier 2) exercises the scanned s2d-RESIDENT tail;
+    # layers[0] = 2 so the tail scan has depth
+    monkeypatch.setenv("CRIS_S2D_L1", l1)
     net_kw = dict(layers=(2, 1, 1, 1), output_dim=32, heads=2,
                   input_resolution=64, width=16)
     ref = ModifiedResNet(**net_kw)

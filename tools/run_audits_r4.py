@@ -22,6 +22,8 @@ JOBS = [
     ("train50", "tools.conv_audit", ["--preset", "RN50", "--mode", "train"]),
     ("eval101", "tools.conv_audit", ["--preset", "RN101", "--mode", "eval"]),
     ("ab_int8", "tools.ab_int8", []),
+    ("s2d_region", "tools.bench_s2d_region", []),
+    ("prof_train", "tools.profile_eval", ["--train"]),
     ("int8err_static", "tools.int8_error_audit",
      ["--static", "--mode", "compound", "--batch", "8"]),
     ("int8err_local", "tools.int8_error_audit",
