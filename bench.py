@@ -19,7 +19,8 @@ Metrics (all batch 32, 416x416, bf16, per chip):
   5. cris_r50_eval_int8_throughput_416px_b32 -- the opt-in int8 serving
      mode (static-calibrated activation scales, ops/quant.py); NOT the
      parity path (quantization error ~1%/conv). vs_baseline = value/100
-     like metric 1. Round-4 A/B: 826.2 vs 792.4 bf16 (tools/ab_int8.py).
+     like metric 1. Round-4 A/B on the s2d-stem graph: 919.8 static vs
+     900.1 dynamic vs 878.7 bf16 (tools/ab_int8.py).
 
 Methodology: each loop runs as ONE jitted lax.scan over n pre-generated
 device-resident batches (how a production loop feeds a TPU), timed at two

@@ -24,6 +24,8 @@ JOBS = [
     ("ab_int8", "tools.ab_int8", []),
     ("s2d_region", "tools.bench_s2d_region", []),
     ("prof_train", "tools.profile_eval", ["--train"]),
+    ("prof_step", "tools.profile_train_step", []),
+    ("ab_int8_64", "tools.ab_int8", ["--min-ch", "64"]),
     ("int8err_static", "tools.int8_error_audit",
      ["--static", "--mode", "compound", "--batch", "8"]),
     ("int8err_local", "tools.int8_error_audit",
