@@ -18,7 +18,7 @@ capability.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Iterable, Tuple
+from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,8 +85,15 @@ def calibrate_act_scales(
     return _maxabs_to_scale(stats)
 
 
-def save_act_scales(path: str, scales: Dict[str, Any]) -> None:
-    """Persist the "quant" collection as a flat .npz (path -> array)."""
+def save_act_scales(path: str, scales: Dict[str, Any],
+                    min_ch: Optional[int] = None) -> None:
+    """Persist the "quant" collection as a flat .npz (path -> array).
+
+    ``min_ch`` records the CRIS_INT8_MIN_CH the calibration ran with: the
+    quantized-site set must MATCH between calibration and serving (a site
+    with no stored scale silently falls back to dynamic quantization,
+    which at min_ch=64 is slower than bf16 -- tools/ab_int8.py).
+    """
     import numpy as np
 
     flat = {}
@@ -99,16 +106,29 @@ def save_act_scales(path: str, scales: Dict[str, Any]) -> None:
             flat["/".join(prefix)] = np.asarray(tree)
 
     walk(scales, ())
+    if min_ch is not None:
+        flat["__min_ch__"] = np.asarray(int(min_ch))
     np.savez(path, **flat)
 
 
 def load_act_scales(path: str) -> Dict[str, Any]:
-    """Inverse of save_act_scales."""
+    """Inverse of save_act_scales.
+
+    If the file records the calibration-time ``min_ch``, it is applied to
+    CRIS_INT8_MIN_CH (unless the env var is already set explicitly) so
+    the serving-side quantized-site set matches the stored scales.
+    """
+    import os
+
     import numpy as np
 
     out: Dict[str, Any] = {}
     with np.load(path) as z:
         for key in z.files:
+            if key == "__min_ch__":
+                os.environ.setdefault(
+                    "CRIS_INT8_MIN_CH", str(int(z[key])))
+                continue
             node = out
             parts = key.split("/")
             for p in parts[:-1]:

@@ -1,6 +1,7 @@
 """BN folding: folded variables + fold_bn model == unfolded eval outputs."""
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -216,6 +217,25 @@ def test_act_scales_save_load_roundtrip(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)), back, tree)
+
+
+def test_act_scales_min_ch_roundtrip(tmp_path, monkeypatch):
+    """The calibration-time min_ch rides in the .npz and applies to
+    CRIS_INT8_MIN_CH at load unless the env var was set explicitly."""
+    from cris_tpu.checkpoint import load_act_scales, save_act_scales
+
+    tree = {"conv1": {"act_scale": jnp.asarray(np.float32(0.5))}}
+    path = str(tmp_path / "quant_scales.npz")
+    save_act_scales(path, tree, min_ch=64)
+
+    monkeypatch.delenv("CRIS_INT8_MIN_CH", raising=False)
+    back = load_act_scales(path)
+    assert os.environ["CRIS_INT8_MIN_CH"] == "64"
+    assert list(back) == ["conv1"]  # __min_ch__ is not a scale entry
+
+    monkeypatch.setenv("CRIS_INT8_MIN_CH", "128")  # explicit env wins
+    load_act_scales(path)
+    assert os.environ["CRIS_INT8_MIN_CH"] == "128"
 
 
 def test_int8_audit_hook(monkeypatch):

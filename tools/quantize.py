@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--min-ch", type=int, default=64,
+                    help="quantize convs with min(cin, cout) >= this; 64 "
+                    "measured fastest for the STATIC path on v5e (952.8 "
+                    "vs 919.8 img/s at 128, tools/ab_int8.py); recorded "
+                    "in the .npz so serving matches")
     ap.add_argument("--pct", type=float, default=0.0,
                     help="calibrate to this percentile of |x| instead of "
                     "maxabs (e.g. 99.9; outlier-robust, clips the tail)")
@@ -35,6 +40,7 @@ def main():
     args = ap.parse_args()
     if args.pct:
         os.environ["CRIS_INT8_CALIB_PCT"] = str(args.pct)
+    os.environ["CRIS_INT8_MIN_CH"] = str(args.min_ch)
 
     from cris_tpu import cli
     from cris_tpu.utils.config import (
@@ -124,7 +130,7 @@ def main():
     scales = calibrate_act_scales(model, variables, batches)
     out = os.path.join(cfg.output_dir, "quant_scales.npz")
     os.makedirs(cfg.output_dir, exist_ok=True)
-    save_act_scales(out, scales)
+    save_act_scales(out, scales, min_ch=args.min_ch)
     n = len(jax.tree_util.tree_leaves(scales))
     print(f"=> wrote {n} activation scales to {out}", flush=True)
 

@@ -26,6 +26,14 @@ JOBS = [
     ("prof_train", "tools.profile_eval", ["--train"]),
     ("prof_step", "tools.profile_train_step", []),
     ("ab_int8_64", "tools.ab_int8", ["--min-ch", "64"]),
+    ("hlo", "tools.hlo_lookup",
+     ["fusion.1903", "multiply_reduce_fusion.22", "fusion.1588",
+      "fusion.6183", "multiply_reduce_fusion.4", "multiply_reduce_fusion.1",
+      "multiply_reduce_fusion.2", "fusion.2", "fusion.1250",
+      "convolution_convert_fusion.2", "convolution_convert_fusion.1",
+      "add_add_fusion", "compare_convert_fusion", "select_multiply_fusion"]),
+    ("int8err64", "tools.int8_error_audit",
+     ["--static", "--min-ch", "64", "--mode", "compound", "--batch", "8"]),
     ("int8err_static", "tools.int8_error_audit",
      ["--static", "--mode", "compound", "--batch", "8"]),
     ("int8err_local", "tools.int8_error_audit",
