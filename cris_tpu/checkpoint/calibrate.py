@@ -86,13 +86,17 @@ def calibrate_act_scales(
 
 
 def save_act_scales(path: str, scales: Dict[str, Any],
-                    min_ch: Optional[int] = None) -> None:
+                    min_ch: Optional[int] = None,
+                    pooled_min_ch: Optional[int] = None) -> None:
     """Persist the "quant" collection as a flat .npz (path -> array).
 
     ``min_ch`` records the CRIS_INT8_MIN_CH the calibration ran with: the
-    quantized-site set must MATCH between calibration and serving (a site
-    with no stored scale silently falls back to dynamic quantization,
-    which at min_ch=64 is slower than bf16 -- tools/ab_int8.py).
+    quantized-site set must MATCH between calibration and serving (a
+    QuantConv site with no stored scale silently falls back to dynamic
+    quantization, which at min_ch=64 is slower than bf16 --
+    tools/ab_int8.py). ``pooled_min_ch`` likewise records
+    CRIS_INT8_POOLED_MIN_CH for the pooled/s2d sites (those fall back to
+    PLAIN bf16 without a stored scale, so a mismatch only loses the win).
     """
     import numpy as np
 
@@ -108,6 +112,8 @@ def save_act_scales(path: str, scales: Dict[str, Any],
     walk(scales, ())
     if min_ch is not None:
         flat["__min_ch__"] = np.asarray(int(min_ch))
+    if pooled_min_ch is not None:
+        flat["__pooled_min_ch__"] = np.asarray(int(pooled_min_ch))
     np.savez(path, **flat)
 
 
@@ -122,12 +128,13 @@ def load_act_scales(path: str) -> Dict[str, Any]:
 
     import numpy as np
 
+    _env = {"__min_ch__": "CRIS_INT8_MIN_CH",
+            "__pooled_min_ch__": "CRIS_INT8_POOLED_MIN_CH"}
     out: Dict[str, Any] = {}
     with np.load(path) as z:
         for key in z.files:
-            if key == "__min_ch__":
-                os.environ.setdefault(
-                    "CRIS_INT8_MIN_CH", str(int(z[key])))
+            if key in _env:
+                os.environ.setdefault(_env[key], str(int(z[key])))
                 continue
             node = out
             parts = key.split("/")

@@ -23,8 +23,8 @@ from flax import linen as nn
 from ..ops.attention import dot_product_attention
 from ..ops.resize import avg_pool2d, resize2d
 from .layers import (
-    BatchNorm, ConvParams, PooledConv1x1, QuantConv, S2dPooledConv1x1,
-    quant_int8_enabled,
+    BatchNorm, ConvParams, PooledConv1x1, QuantConv, S2dConv3x3,
+    S2dPooledConv1x1, quant_int8_enabled,
 )
 
 Dtype = Any
@@ -136,11 +136,11 @@ class Bottleneck(nn.Module):
                     # an exact 1x1 (the s2d region's tier-1 exit)
                     return S2dPooledConv1x1(
                         features, use_bias=self.fold_bn, dtype=self.dtype,
-                        name=name,
+                        quant_int8=use_quant, name=name,
                     )
                 return PooledConv1x1(
                     features, pool, use_bias=self.fold_bn, dtype=self.dtype,
-                    name=name,
+                    quant_int8=use_quant, name=name,
                 )
             if use_quant:
                 return QuantConv(
@@ -227,7 +227,7 @@ class Bottleneck(nn.Module):
                 conv(out_planes, 1, "conv3", pool=self.stride)(out), train)
             identity = S2dPooledConv1x1(
                 out_planes, use_bias=self.fold_bn, dtype=self.dtype,
-                name="downsample_conv")(x)
+                quant_int8=use_quant, name="downsample_conv")(x)
             identity = bn(out_planes, "downsample_bn")(identity, train)
             return nn.relu(out + identity)
 
@@ -400,7 +400,7 @@ class ModifiedResNet(nn.Module):
             )
             stem_pooled = True
         elif stem_s2d:
-            from ..ops.s2d import conv3x3_s2d, stem_conv1_s2d
+            from ..ops.s2d import stem_conv1_s2d
 
             def s2d_bn(features, name):
                 if self.fold_bn:
@@ -408,19 +408,25 @@ class ModifiedResNet(nn.Module):
                 return BatchNorm(features, dtype=self.dtype, phases=4,
                                  name=name)
 
+            # conv2/conv3 stay int8-quantizable on the serving path: their
+            # EMBEDDED widths (128->128, 128->256) are MXU-friendly and
+            # measured faster under int8 (tools/bench_int8_more.py).
+            # conv1 keeps bf16 (3-channel input, inherently layout-bound).
+            # CRIS_INT8_STEM=0 excludes the stem sites (A/B hook).
+            use_quant = (self.fold_bn and not train
+                         and quant_int8_enabled(self.quant_int8)
+                         and os.environ.get("CRIS_INT8_STEM", "1") == "1")
             k1, b1 = ConvParams((3, 3, 3, w // 2), use_bias=self.fold_bn,
                                 name="conv1")()
-            k2, b2 = ConvParams((3, 3, w // 2, w // 2),
-                                use_bias=self.fold_bn, name="conv2")()
-            k3, b3 = ConvParams((3, 3, w // 2, w), use_bias=self.fold_bn,
-                                name="conv3")()
             dt = self.dtype or x.dtype
             x = nn.relu(s2d_bn(w // 2, "bn1")(
                 stem_conv1_s2d(x, k1, b1, dt), train))
             x = nn.relu(s2d_bn(w // 2, "bn2")(
-                conv3x3_s2d(x, k2, b2, dt), train))
+                S2dConv3x3(w // 2, use_bias=self.fold_bn, dtype=self.dtype,
+                           quant_int8=use_quant, name="conv2")(x), train))
             x = nn.relu(s2d_bn(w, "bn3")(
-                conv3x3_s2d(x, k3, b3, dt), train))
+                S2dConv3x3(w, use_bias=self.fold_bn, dtype=self.dtype,
+                           quant_int8=use_quant, name="conv3")(x), train))
             stem_pooled = False
         else:
             x = x.astype(self.dtype or x.dtype)

@@ -41,6 +41,12 @@ class PooledConv1x1(nn.Module):
     pool: int
     use_bias: bool = False
     dtype: Optional[Dtype] = None
+    # int8 serving path over the embedded k x k kernel; engages only with
+    # a calibrated static scale (no dynamic fallback: the per-dispatch
+    # maxabs reduce over the wide pre-pool tensor measured slower than
+    # bf16). Gated on pooled_quant_min_ch (256): the 128->512 k2s2 site
+    # measured NEGATIVE under int8 (tools/bench_int8_more.py).
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -51,24 +57,32 @@ class PooledConv1x1(nn.Module):
             (1, 1, cin, self.features),
             jnp.float32,
         )
-        dtype = self.dtype or x.dtype
-        k = jnp.broadcast_to(
-            (kernel * (1.0 / self.pool**2)).astype(dtype),
-            (self.pool, self.pool, cin, self.features),
-        )
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            k,
-            window_strides=(self.pool, self.pool),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        bias = None
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
-            y = y + bias.astype(dtype)
-        return y
+        dtype = self.dtype or x.dtype
+        shape = (self.pool, self.pool, cin, self.features)
+        strides = (self.pool, self.pool)
+
+        def plain():
+            k = jnp.broadcast_to(
+                (kernel * (1.0 / self.pool**2)).astype(dtype), shape)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), k, strides, "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + bias.astype(dtype)
+            return y
+
+        if self.quant_int8 and min(cin, self.features) >= pooled_quant_min_ch():
+            k_emb = jnp.broadcast_to(kernel * (1.0 / self.pool**2), shape)
+            return _quant_conv_site(
+                self, x, k_emb, strides, "VALID", bias, dtype, plain,
+                dynamic_fallback=False)
+        return plain()
 
 
 class S2dPooledConv1x1(nn.Module):
@@ -82,6 +96,10 @@ class S2dPooledConv1x1(nn.Module):
     features: int
     use_bias: bool = False
     dtype: Optional[Dtype] = None
+    # int8 serving path over the embedded (1, 1, 4C, D) kernel; static
+    # scale only, gated on pooled_quant_min_ch like PooledConv1x1 (the
+    # effective in-width is 4C)
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -94,20 +112,72 @@ class S2dPooledConv1x1(nn.Module):
             (1, 1, cin, self.features),
             jnp.float32,
         )
-        dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            embed_pool2_conv1x1_s2d(kernel).astype(dtype),
-            window_strides=(1, 1),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        bias = None
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
-            y = y + bias.astype(dtype)
-        return y
+        dtype = self.dtype or x.dtype
+        k_emb = embed_pool2_conv1x1_s2d(kernel)
+
+        def plain():
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), k_emb.astype(dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + bias.astype(dtype)
+            return y
+
+        if (self.quant_int8
+                and min(4 * cin, self.features) >= pooled_quant_min_ch()):
+            return _quant_conv_site(
+                self, x, k_emb, (1, 1), "VALID", bias, dtype, plain,
+                dynamic_fallback=False)
+        return plain()
+
+
+class S2dConv3x3(nn.Module):
+    """k3/s1 SAME conv applied to a space-to-depth-resident tensor
+    (ops/s2d.py), staying s2d. Parameter tree identical to the plain conv
+    (kernel (3, 3, C, D) [+ bias]) — the declared C is the ORIGINAL
+    channel count (input.shape[-1] // 4). Optional int8 serving path over
+    the embedded (3, 3, 4C, 4D) kernel (measured faster than bf16 at both
+    stem shapes: 0.771 -> 0.666 and 1.297 -> 0.983 ms,
+    tools/bench_int8_more.py); static calibrated scale only, gated on the
+    standard CRIS_INT8_MIN_CH over the EMBEDDED widths."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+    quant_int8: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.s2d import conv3x3_s2d, embed_conv3x3_s2d
+
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        dtype = self.dtype or x.dtype
+        plain = lambda: conv3x3_s2d(x, kernel, bias, dtype)
+
+        min_ch = int(os.environ.get("CRIS_INT8_MIN_CH", "128"))
+        if self.quant_int8 and min(4 * cin, 4 * self.features) >= min_ch:
+            b4 = None if bias is None else jnp.tile(bias, 4)
+            return _quant_conv_site(
+                self, x, embed_conv3x3_s2d(kernel), (1, 1),
+                [(1, 1), (1, 1)], b4, dtype, plain, dynamic_fallback=False)
+        return plain()
 
 
 def quant_int8_enabled(flag: bool) -> bool:
@@ -118,6 +188,77 @@ def quant_int8_enabled(flag: bool) -> bool:
     if env is not None:
         return env == "1"
     return flag
+
+
+def pooled_quant_min_ch() -> int:
+    """min(cin, cout) threshold for quantizing the POOLED (k2/s2 fold) and
+    s2d-exit conv sites. Separate from CRIS_INT8_MIN_CH because the
+    measured economics differ: the 104^2 128->512 k2s2 site LOSES under
+    int8 (0.469 -> 0.554 ms) while every >=256-min-ch pooled site wins
+    (26^2 1024->2048: 0.526 -> 0.329; tools/bench_int8_more.py)."""
+    return int(os.environ.get("CRIS_INT8_POOLED_MIN_CH", "256"))
+
+
+def _quant_conv_site(mod: nn.Module, x, kernel, strides, padding, bias,
+                     dtype, plain_fn, dynamic_fallback: bool = True):
+    """Shared int8-site logic (calibration sow / calibrated-static path /
+    optional dynamic fallback / error-audit hook) over the HWIO kernel
+    that is ACTUALLY convolved -- embedded forms (pooled k2/s2 expansions,
+    s2d-resident kernels) included. ``plain_fn`` is the site's exact
+    unquantized computation; with ``dynamic_fallback=False`` the site runs
+    plain unless a calibrated static scale is stored (per-dispatch maxabs
+    reduces over wide tensors measured slower than bf16 -- CLAUDE.md
+    round-4 dyn-at-min_ch-64 negative)."""
+    from ..ops.quant import int8_conv2d, int8_conv2d_static
+
+    # calibration pass (checkpoint/calibrate.py drives this with
+    # CRIS_INT8_CALIB=1 + mutable=["quant_stats"]): record the activation
+    # range statistic and run the PLAIN conv (scales unknown yet).
+    # CRIS_INT8_CALIB_PCT=99.9 clips to a percentile of |x| instead of
+    # maxabs (outlier-robust PTQ; out-of-range values saturate at +-127).
+    if os.environ.get("CRIS_INT8_CALIB") == "1":
+        pct = float(os.environ.get("CRIS_INT8_CALIB_PCT", "0") or 0)
+        ax = jnp.abs(x.astype(jnp.float32))
+        stat = (jnp.quantile(ax.reshape(-1), pct / 100.0)
+                if pct else jnp.max(ax))
+        mod.sow(
+            "quant_stats", "act_maxabs", stat,
+            init_fn=lambda: jnp.zeros((), jnp.float32),
+            reduce_fn=jnp.maximum,
+        )
+        return plain_fn()
+
+    if mod.has_variable("quant", "act_scale"):
+        # calibrated static scale: the quantize pass has no reduce
+        # dependency, so it fuses into the producer's epilogue
+        s = mod.get_variable("quant", "act_scale")
+        got = int8_conv2d_static(
+            x, kernel, s, strides, padding, bias).astype(dtype)
+    elif dynamic_fallback:
+        got = int8_conv2d(x, kernel, strides, padding, bias).astype(dtype)
+    else:
+        return plain_fn()
+
+    # per-site error audit (tools/int8_error_audit.py): also run the
+    # plain conv, sow worst-case error stats; "local" feeds downstream
+    # the bf16 result (per-site intrinsic error), "compound" the int8
+    # one (production propagation)
+    audit = os.environ.get("CRIS_INT8_AUDIT", "")
+    if audit in ("1", "local", "compound"):
+        ref = plain_fn()
+        rf = ref.astype(jnp.float32)
+        err = got.astype(jnp.float32) - rf
+        mod.sow(
+            "quant_audit", "err_stats",
+            jnp.stack([jnp.max(jnp.abs(err)),
+                       jnp.sqrt(jnp.mean(err * err)),
+                       jnp.max(jnp.abs(rf)),
+                       jnp.sqrt(jnp.mean(rf * rf))]),
+            init_fn=lambda: jnp.zeros((4,), jnp.float32),
+            reduce_fn=jnp.maximum,
+        )
+        return got if audit == "compound" else ref
+    return got
 
 
 class QuantConv(nn.Module):
@@ -144,8 +285,6 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.quant import int8_conv2d, int8_conv2d_static
-
         min_ch = self.min_channels
         if min_ch is None:
             min_ch = int(os.environ.get("CRIS_INT8_MIN_CH", "128"))
@@ -175,53 +314,8 @@ class QuantConv(nn.Module):
             return y
 
         if min(cin, self.features) >= min_ch:
-            # calibration pass (checkpoint/calibrate.py drives this with
-            # CRIS_INT8_CALIB=1 + mutable=["quant_stats"]): record the
-            # activation range statistic and run the PLAIN conv (scales
-            # unknown yet). CRIS_INT8_CALIB_PCT=99.9 clips to a percentile
-            # of |x| instead of maxabs (outlier-robust PTQ; values beyond
-            # the calibrated range saturate at +-127).
-            if os.environ.get("CRIS_INT8_CALIB") == "1":
-                pct = float(os.environ.get("CRIS_INT8_CALIB_PCT", "0") or 0)
-                ax = jnp.abs(x.astype(jnp.float32))
-                stat = (jnp.quantile(ax.reshape(-1), pct / 100.0)
-                        if pct else jnp.max(ax))
-                self.sow(
-                    "quant_stats", "act_maxabs", stat,
-                    init_fn=lambda: jnp.zeros((), jnp.float32),
-                    reduce_fn=jnp.maximum,
-                )
-            else:
-                if self.has_variable("quant", "act_scale"):
-                    # calibrated static scale: the quantize pass has no
-                    # reduce dependency, so it fuses into the producer's
-                    # epilogue
-                    s = self.get_variable("quant", "act_scale")
-                    got = int8_conv2d_static(
-                        x, kernel, s, strides, pad, bias).astype(dtype)
-                else:
-                    got = int8_conv2d(x, kernel, strides, pad, bias
-                                      ).astype(dtype)
-                # per-site error audit (tools/int8_error_audit.py): also
-                # run the plain conv, sow worst-case error stats; "local"
-                # feeds downstream the bf16 result (per-site intrinsic
-                # error), "compound" the int8 one (production propagation)
-                audit = os.environ.get("CRIS_INT8_AUDIT", "")
-                if audit in ("1", "local", "compound"):
-                    ref = plain()
-                    rf = ref.astype(jnp.float32)
-                    err = got.astype(jnp.float32) - rf
-                    self.sow(
-                        "quant_audit", "err_stats",
-                        jnp.stack([jnp.max(jnp.abs(err)),
-                                   jnp.sqrt(jnp.mean(err * err)),
-                                   jnp.max(jnp.abs(rf)),
-                                   jnp.sqrt(jnp.mean(rf * rf))]),
-                        init_fn=lambda: jnp.zeros((4,), jnp.float32),
-                        reduce_fn=jnp.maximum,
-                    )
-                    return got if audit == "compound" else ref
-                return got
+            return _quant_conv_site(
+                self, x, kernel, strides, pad, bias, dtype, plain)
         return plain()
 
 

@@ -196,6 +196,75 @@ def test_quant_int8_static_calibration(monkeypatch):
     assert np.mean((got > thr) == (ref > thr)) > 0.97
 
 
+def test_quant_int8_pooled_and_s2d_sites(monkeypatch):
+    """int8 coverage of the pooled (k2/s2-fold) and s2d-stem conv sites
+    (PooledConv1x1 / S2dPooledConv1x1 / S2dConv3x3): calibration sows
+    their activation scales, the static path engages and stays within the
+    PTQ error band, and WITHOUT stored scales the sites fall back to
+    plain bf16 (never dynamic -- the wide-tensor maxabs reduce measured
+    slower than bf16, CLAUDE.md round-4)."""
+    from cris_tpu.checkpoint import calibrate_act_scales, fold_batchnorm
+
+    monkeypatch.setenv("CRIS_INT8_MIN_CH", "1")
+    monkeypatch.setenv("CRIS_INT8_POOLED_MIN_CH", "1")
+    monkeypatch.setenv("CRIS_S2D_STEM", "1")
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(1, 49000, (2, 17)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, word, train=False)
+
+    folded_model = dataclasses.replace(model, fold_bn=True, fuse_pool=True)
+    folded_vars = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+    ref = np.asarray(folded_model.apply(folded_vars, img, word, train=False))
+
+    quant_model = dataclasses.replace(folded_model, quant_int8=True)
+    # no stored scales: pooled/s2d sites run PLAIN (QuantConv sites go
+    # dynamic) -- must stay within the documented band
+    got_nostatic = np.asarray(
+        quant_model.apply(folded_vars, img, word, train=False))
+    rel = np.linalg.norm(got_nostatic - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert 0 < rel < 0.1, rel
+
+    scales = calibrate_act_scales(quant_model, folded_vars, [(img, word)])
+    flat = {
+        "/".join(map(str, k)).replace("['", "").replace("']", "")
+        for k, _ in jax.tree_util.tree_flatten_with_path(scales)[0]
+    }
+    # the new site families must all be calibrated
+    for site in (
+        "backbone/visual/conv2/act_scale",          # S2dConv3x3 (stem)
+        "backbone/visual/conv3/act_scale",
+        "backbone/visual/layer1_0/conv1/act_scale",  # S2dPooledConv1x1
+        "backbone/visual/layer1_0/downsample_conv/act_scale",
+        "backbone/visual/layer2_0/conv3/act_scale",  # PooledConv1x1
+        "backbone/visual/layer2_0/downsample_conv/act_scale",
+    ):
+        assert site in flat, (site, sorted(flat)[:10])
+
+    got = np.asarray(quant_model.apply(
+        {**folded_vars, "quant": scales}, img, word, train=False))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert 0 < rel < 0.1, rel
+    thr = np.log(0.35 / 0.65)
+    assert np.mean((got > thr) == (ref > thr)) > 0.97
+    # the static program must actually differ from the scale-less one
+    # (the pooled/s2d sites engaged)
+    assert not np.array_equal(got, got_nostatic)
+
+    # raising the pooled threshold excludes the pooled sites again: their
+    # scales go unread and the calibration no longer sows them
+    monkeypatch.setenv("CRIS_INT8_POOLED_MIN_CH", "4096")
+    scales_hi = calibrate_act_scales(quant_model, folded_vars, [(img, word)])
+    flat_hi = {
+        "/".join(map(str, k)).replace("['", "").replace("']", "")
+        for k, _ in jax.tree_util.tree_flatten_with_path(scales_hi)[0]
+    }
+    assert "backbone/visual/layer2_0/downsample_conv/act_scale" not in flat_hi
+    assert "backbone/visual/conv2/act_scale" in flat_hi  # stem unaffected
+
+
 def test_act_scales_save_load_roundtrip(tmp_path):
     from cris_tpu.checkpoint import load_act_scales, save_act_scales
 
@@ -226,11 +295,13 @@ def test_act_scales_min_ch_roundtrip(tmp_path, monkeypatch):
 
     tree = {"conv1": {"act_scale": jnp.asarray(np.float32(0.5))}}
     path = str(tmp_path / "quant_scales.npz")
-    save_act_scales(path, tree, min_ch=64)
+    save_act_scales(path, tree, min_ch=64, pooled_min_ch=256)
 
     monkeypatch.delenv("CRIS_INT8_MIN_CH", raising=False)
+    monkeypatch.delenv("CRIS_INT8_POOLED_MIN_CH", raising=False)
     back = load_act_scales(path)
     assert os.environ["CRIS_INT8_MIN_CH"] == "64"
+    assert os.environ["CRIS_INT8_POOLED_MIN_CH"] == "256"
     assert list(back) == ["conv1"]  # __min_ch__ is not a scale entry
 
     monkeypatch.setenv("CRIS_INT8_MIN_CH", "128")  # explicit env wins

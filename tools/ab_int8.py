@@ -20,6 +20,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--min-ch", type=int, default=128)
+    ap.add_argument("--settings", default="0,1,static",
+                    help="comma list of arms: 0 (bf16), 1 (dynamic), "
+                    "static (full static coverage), static_base (static "
+                    "with the round-4 pooled/s2d-stem sites EXCLUDED -- "
+                    "isolates the new-coverage win)")
     args = ap.parse_args()
 
     import jax
@@ -40,10 +45,18 @@ def main():
         print(f"probe {i}: {time.monotonic() - t0:.1f}s", flush=True)
 
     results = {}
-    for setting in ("0", "1", "static"):
-        if setting == "static":
+    for setting in args.settings.split(","):
+        os.environ.pop("CRIS_INT8_POOLED_MIN_CH", None)
+        os.environ.pop("CRIS_INT8_STEM", None)
+        if setting.startswith("static"):
             os.environ["CRIS_INT8"] = "1"
             os.environ["CRIS_INT8_STATIC"] = "1"
+            if setting == "static_base":
+                # exclude the round-4 pooled/s2d-stem coverage: the
+                # static-int8 graph exactly as first landed (min_ch-gated
+                # QuantConv sites only)
+                os.environ["CRIS_INT8_POOLED_MIN_CH"] = "999999"
+                os.environ["CRIS_INT8_STEM"] = "0"
         else:
             os.environ["CRIS_INT8"] = setting
             os.environ.pop("CRIS_INT8_STATIC", None)
@@ -64,12 +77,16 @@ def main():
         results[setting] = (step_ms, rate)
         print(f"[eval int8={setting}] marginal {step_ms:.2f} ms/step = "
               f"{rate:.1f} img/s", flush=True)
-    off, on, st = results["0"], results["1"], results["static"]
-    print(f"\nEVAL INT8 RESULT (min_ch={args.min_ch}): off {off[0]:.2f}ms "
-          f"({off[1]:.1f} img/s)  dyn {on[0]:.2f}ms ({on[1]:.1f} img/s)  "
-          f"static {st[0]:.2f}ms ({st[1]:.1f} img/s)\n", flush=True)
+    names = {"0": "off", "1": "dyn"}
+    summary = "  ".join(
+        f"{names.get(k, k)} {v[0]:.2f}ms ({v[1]:.1f} img/s)"
+        for k, v in results.items())
+    print(f"\nEVAL INT8 RESULT (min_ch={args.min_ch}): {summary}\n",
+          flush=True)
     os.environ.pop("CRIS_INT8", None)
     os.environ.pop("CRIS_INT8_STATIC", None)
+    os.environ.pop("CRIS_INT8_POOLED_MIN_CH", None)
+    os.environ.pop("CRIS_INT8_STEM", None)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,11 @@ def main():
                     "measured fastest for the STATIC path on v5e (952.8 "
                     "vs 919.8 img/s at 128, tools/ab_int8.py); recorded "
                     "in the .npz so serving matches")
+    ap.add_argument("--pooled-min-ch", type=int, default=256,
+                    help="pooled/s2d conv sites quantize at min(cin, cout)"
+                    " >= this (ops measured per family in "
+                    "tools/bench_int8_more.py: 128->512 k2s2 loses, "
+                    ">=256-min-ch pooled sites win); recorded in the .npz")
     ap.add_argument("--pct", type=float, default=0.0,
                     help="calibrate to this percentile of |x| instead of "
                     "maxabs (e.g. 99.9; outlier-robust, clips the tail)")
@@ -41,6 +46,7 @@ def main():
     if args.pct:
         os.environ["CRIS_INT8_CALIB_PCT"] = str(args.pct)
     os.environ["CRIS_INT8_MIN_CH"] = str(args.min_ch)
+    os.environ["CRIS_INT8_POOLED_MIN_CH"] = str(args.pooled_min_ch)
 
     from cris_tpu import cli
     from cris_tpu.utils.config import (
@@ -130,7 +136,8 @@ def main():
     scales = calibrate_act_scales(model, variables, batches)
     out = os.path.join(cfg.output_dir, "quant_scales.npz")
     os.makedirs(cfg.output_dir, exist_ok=True)
-    save_act_scales(out, scales, min_ch=args.min_ch)
+    save_act_scales(out, scales, min_ch=args.min_ch,
+                    pooled_min_ch=args.pooled_min_ch)
     n = len(jax.tree_util.tree_leaves(scales))
     print(f"=> wrote {n} activation scales to {out}", flush=True)
 
