@@ -318,6 +318,30 @@ def run_metric(metric, make_bench, budget_s, trials, required):
         emit(metric, amortized, note=note)
 
 
+def _last_recorded_eval_rate(default=882.1):
+    """Latest recorded eval headline from the driver's BENCH_r*.json files
+    (the host metric runs BEFORE the TPU metrics so relay stalls cannot
+    block it, hence it cannot use this run's own eval number; ADVICE r4:
+    derive from the record instead of a hand-bumped constant)."""
+    import glob
+    import re
+
+    best = None
+    for path in sorted(glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                m = re.search(
+                    r'\\?"metric\\?": \\?"cris_r50_eval_throughput_416px_b32'
+                    r'\\?", \\?"value\\?": ([0-9.]+)', f.read())
+            if m:
+                best = float(m.group(1))  # keep the LAST (highest round)
+        except OSError:
+            continue
+    return best if best else default
+
+
 def run_host_input_metric():
     """4th metric: host-only (no TPU/relay risk), so it runs first."""
     try:
@@ -326,7 +350,7 @@ def run_host_input_metric():
         # the chip rate is the last recorded eval headline (the host metric
         # deliberately runs BEFORE the TPU metrics so relay stalls cannot
         # block it); the note states the assumption (ADVICE r3)
-        chip_img_s = 791.5
+        chip_img_s = _last_recorded_eval_rate()
         r = measure_host_pipeline(n_images=48, repeats=2, python_images=16,
                                   chip_img_s=chip_img_s)
         if "native_img_s" not in r:
@@ -394,6 +418,10 @@ def main():
     if time_left() > 75:
         os.environ["CRIS_INT8"] = "1"
         os.environ["CRIS_INT8_STATIC"] = "1"
+        # build_model setdefaults CRIS_INT8_MIN_CH=64 on this path; restore
+        # it too so the leaked value cannot apply to any later model build
+        # in the same process (ADVICE r4)
+        saved_min_ch = os.environ.get("CRIS_INT8_MIN_CH")
         try:
             run_metric(
                 "cris_r50_eval_int8_throughput_416px_b32",
@@ -403,6 +431,10 @@ def main():
         finally:
             os.environ.pop("CRIS_INT8", None)
             os.environ.pop("CRIS_INT8_STATIC", None)
+            if saved_min_ch is None:
+                os.environ.pop("CRIS_INT8_MIN_CH", None)
+            else:
+                os.environ["CRIS_INT8_MIN_CH"] = saved_min_ch
 
 
 if __name__ == "__main__":

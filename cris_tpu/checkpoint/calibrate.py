@@ -87,7 +87,8 @@ def calibrate_act_scales(
 
 def save_act_scales(path: str, scales: Dict[str, Any],
                     min_ch: Optional[int] = None,
-                    pooled_min_ch: Optional[int] = None) -> None:
+                    pooled_min_ch: Optional[int] = None,
+                    upfold_min_ch: Optional[int] = None) -> None:
     """Persist the "quant" collection as a flat .npz (path -> array).
 
     ``min_ch`` records the CRIS_INT8_MIN_CH the calibration ran with: the
@@ -95,8 +96,10 @@ def save_act_scales(path: str, scales: Dict[str, Any],
     QuantConv site with no stored scale silently falls back to dynamic
     quantization, which at min_ch=64 is slower than bf16 --
     tools/ab_int8.py). ``pooled_min_ch`` likewise records
-    CRIS_INT8_POOLED_MIN_CH for the pooled/s2d sites (those fall back to
-    PLAIN bf16 without a stored scale, so a mismatch only loses the win).
+    CRIS_INT8_POOLED_MIN_CH for the pooled/s2d sites and
+    ``upfold_min_ch`` CRIS_INT8_UPFOLD_MIN_CH for the upsample-fold
+    sites (those fall back to PLAIN bf16 without a stored scale, so a
+    mismatch only loses the win).
     """
     import numpy as np
 
@@ -114,6 +117,8 @@ def save_act_scales(path: str, scales: Dict[str, Any],
         flat["__min_ch__"] = np.asarray(int(min_ch))
     if pooled_min_ch is not None:
         flat["__pooled_min_ch__"] = np.asarray(int(pooled_min_ch))
+    if upfold_min_ch is not None:
+        flat["__upfold_min_ch__"] = np.asarray(int(upfold_min_ch))
     np.savez(path, **flat)
 
 
@@ -122,19 +127,36 @@ def load_act_scales(path: str) -> Dict[str, Any]:
 
     If the file records the calibration-time ``min_ch``, it is applied to
     CRIS_INT8_MIN_CH (unless the env var is already set explicitly) so
-    the serving-side quantized-site set matches the stored scales.
+    the serving-side quantized-site set matches the stored scales. When
+    the env var IS already set to a different value (another scale file
+    loaded earlier in this process, or an explicit override), a warning
+    is logged: a site-set mismatch makes scale-less QuantConv sites fall
+    back to dynamic int8, which at min_ch=64 measures slower than bf16
+    (ADVICE r4).
     """
     import os
 
     import numpy as np
 
     _env = {"__min_ch__": "CRIS_INT8_MIN_CH",
-            "__pooled_min_ch__": "CRIS_INT8_POOLED_MIN_CH"}
+            "__pooled_min_ch__": "CRIS_INT8_POOLED_MIN_CH",
+            "__upfold_min_ch__": "CRIS_INT8_UPFOLD_MIN_CH"}
     out: Dict[str, Any] = {}
     with np.load(path) as z:
         for key in z.files:
             if key in _env:
-                os.environ.setdefault(_env[key], str(int(z[key])))
+                stored = str(int(z[key]))
+                current = os.environ.get(_env[key])
+                if current is not None and current != stored:
+                    from ..utils.logging import logger
+
+                    logger.warning(
+                        f"load_act_scales({path}): file was calibrated with "
+                        f"{_env[key]}={stored} but the process has "
+                        f"{_env[key]}={current}; the quantized-site set will "
+                        f"not match the stored scales"
+                    )
+                os.environ.setdefault(_env[key], stored)
                 continue
             node = out
             parts = key.split("/")

@@ -133,7 +133,12 @@ class Bottleneck(nn.Module):
             if pool > 1:
                 if s2d_in:
                     # the pooled conv consumes an s2d-resident input as
-                    # an exact 1x1 (the s2d region's tier-1 exit)
+                    # an exact 1x1 (the s2d region's tier-1 exit).
+                    # S2dPooledConv1x1 hardwires pool-2 semantics (one s2d
+                    # cell IS the 2x2 pool window) -- a pool != 2 caller
+                    # would get silently wrong numerics (ADVICE r4).
+                    assert pool == 2, (
+                        f"s2d-resident input requires pool == 2, got {pool}")
                     return S2dPooledConv1x1(
                         features, use_bias=self.fold_bn, dtype=self.dtype,
                         quant_int8=use_quant, name=name,

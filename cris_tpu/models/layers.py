@@ -199,8 +199,17 @@ def pooled_quant_min_ch() -> int:
     return int(os.environ.get("CRIS_INT8_POOLED_MIN_CH", "256"))
 
 
+def upfold_quant_min_ch() -> int:
+    """min(cin, cout) threshold for quantizing the upsample-fold
+    (lhs_dilated) conv sites (UpConvBNReLU / CatUpConvBNReLU up-cores).
+    Separate env knob so the family can be excluded wholesale
+    (CRIS_INT8_UPFOLD_MIN_CH=99999) in A/B runs."""
+    return int(os.environ.get("CRIS_INT8_UPFOLD_MIN_CH", "256"))
+
+
 def _quant_conv_site(mod: nn.Module, x, kernel, strides, padding, bias,
-                     dtype, plain_fn, dynamic_fallback: bool = True):
+                     dtype, plain_fn, dynamic_fallback: bool = True,
+                     lhs_dilation=(1, 1)):
     """Shared int8-site logic (calibration sow / calibrated-static path /
     optional dynamic fallback / error-audit hook) over the HWIO kernel
     that is ACTUALLY convolved -- embedded forms (pooled k2/s2 expansions,
@@ -233,9 +242,11 @@ def _quant_conv_site(mod: nn.Module, x, kernel, strides, padding, bias,
         # dependency, so it fuses into the producer's epilogue
         s = mod.get_variable("quant", "act_scale")
         got = int8_conv2d_static(
-            x, kernel, s, strides, padding, bias).astype(dtype)
+            x, kernel, s, strides, padding, bias,
+            lhs_dilation=lhs_dilation).astype(dtype)
     elif dynamic_fallback:
-        got = int8_conv2d(x, kernel, strides, padding, bias).astype(dtype)
+        got = int8_conv2d(x, kernel, strides, padding, bias,
+                          lhs_dilation=lhs_dilation).astype(dtype)
     else:
         return plain_fn()
 
@@ -479,25 +490,51 @@ class CatUpConvBNReLU(nn.Module):
     upsample folded into the split concat kernel:
     conv1x1(cat) = conv1x1_a(parts) + upsample2x_conv1x1(up, K_b).
     Parameter tree identical to ConvBNReLU(features, 1, 0) on the concat,
-    so checkpoints are interchangeable with the reference-order path."""
+    so checkpoints are interchangeable with the reference-order path.
+
+    quant_int8: int8 serving path over the up-branch's embedded ld2
+    fold_kernel4 core (static calibrated scale only; the border ring
+    stays exact f32 either way). The cat-branch einsum stays bf16 (it is
+    a dot_general -- the int8 dot question is tracked separately)."""
 
     features: int
     dtype: Optional[Dtype] = None
     fold_bn: bool = False
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, parts, up, train: bool = False) -> jnp.ndarray:
-        from ..ops.upsample_conv import upsample2x_conv1x1
+        from ..ops.upsample_conv import (
+            apply_border_ring1x1, fold_kernel4, upsample2x_conv1x1,
+        )
 
         ci = sum(p.shape[-1] for p in parts) + up.shape[-1]
+        cu = up.shape[-1]
         kernel, bias = ConvParams((1, 1, ci, self.features),
                                  use_bias=self.fold_bn, name="conv")()
         dt = self.dtype or up.dtype
-        ca = ci - up.shape[-1]
+        ca = ci - cu
         cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
         y = jnp.einsum("bhwc,cd->bhwd", cat.astype(dt),
                        kernel[0, 0, :ca].astype(dt))
-        y = y + upsample2x_conv1x1(up.astype(dt), kernel[:, :, ca:])
+        if (self.quant_int8
+                and min(cu, self.features) >= upfold_quant_min_ch()):
+            k_up = kernel[:, :, ca:]
+            k4 = fold_kernel4(k_up)
+            up_dt = up.astype(dt)
+
+            def plain_core():
+                return jax.lax.conv_general_dilated(
+                    up_dt, k4.astype(dt), (1, 1), [(2, 2), (2, 2)],
+                    lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            core = _quant_conv_site(
+                self, up_dt, k4, (1, 1), [(2, 2), (2, 2)], None, dt,
+                plain_core, dynamic_fallback=False, lhs_dilation=(2, 2))
+            y = y + apply_border_ring1x1(core, up_dt, k_up)
+        else:
+            y = y + upsample2x_conv1x1(up.astype(dt), kernel[:, :, ca:])
         if bias is not None:
             y = y + bias.astype(y.dtype)
         if not self.fold_bn:
@@ -514,22 +551,47 @@ class UpConvBNReLU(nn.Module):
 
     v5e b32 bf16 (tools/bench_upsample_fold.py): the projector's
     52->104 512->256 site drops 9.55 -> 7.98 ms fwd, 10.34 -> 8.51
-    fwd+bwd; the 26->52 512->512 site 3.00 -> 2.47 fwd."""
+    fwd+bwd; the 26->52 512->512 site 3.00 -> 2.47 fwd.
+
+    quant_int8: int8 serving path over the embedded ld2 fold_kernel6
+    core (static calibrated scale only; the border correction strips
+    stay exact f32 either way)."""
 
     features: int
     dtype: Optional[Dtype] = None
     fold_bn: bool = False
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        from ..ops.upsample_conv import upsample2x_conv3x3
+        from ..ops.upsample_conv import (
+            apply_border_correction3x3, fold_kernel6, upsample2x_conv3x3,
+        )
 
         ci = x.shape[-1]
         conv = ConvParams((3, 3, ci, self.features), use_bias=self.fold_bn,
                          name="conv")
         kernel, bias = conv()
         dt = self.dtype or x.dtype
-        y = upsample2x_conv3x3(x.astype(dt), kernel.astype(dt), bias)
+        if (self.quant_int8
+                and min(ci, self.features) >= upfold_quant_min_ch()):
+            k6 = fold_kernel6(kernel)
+            x_dt = x.astype(dt)
+
+            def plain_core():
+                return jax.lax.conv_general_dilated(
+                    x_dt, k6.astype(dt), (1, 1), [(3, 3), (3, 3)],
+                    lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+            core = _quant_conv_site(
+                self, x_dt, k6, (1, 1), [(3, 3), (3, 3)], None, dt,
+                plain_core, dynamic_fallback=False, lhs_dilation=(2, 2))
+            y = apply_border_correction3x3(core, x_dt, kernel.astype(dt))
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+        else:
+            y = upsample2x_conv3x3(x.astype(dt), kernel.astype(dt), bias)
         if not self.fold_bn:
             y = BatchNorm(self.features, dtype=self.dtype, name="bn")(y, train)
         return nn.relu(y)

@@ -10,6 +10,7 @@ query feature map for the decoder.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -17,7 +18,7 @@ from flax import linen as nn
 
 from ..ops.resize import avg_pool2d, upsample2x
 from .layers import (BatchNorm, CatUpConvBNReLU, ConvBNReLU, CoordConv,
-                     LinearBNReLU, auto_fuse_upsample)
+                     LinearBNReLU, auto_fuse_upsample, quant_int8_enabled)
 
 Dtype = Any
 
@@ -28,6 +29,9 @@ class FPN(nn.Module):
     dtype: Optional[Dtype] = None
     fold_bn: bool = False  # folds conv/linear+BN pairs; norm_layer BN stays
     fuse_upsample: Optional[bool] = None  # None = auto by dtype (see layers)
+    # opt-in int8 serving path for the upsample-fold cores (fold_bn eval
+    # only; CRIS_INT8_UPFOLD=0 excludes the family in A/B runs)
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(
@@ -38,6 +42,10 @@ class FPN(nn.Module):
     ) -> jnp.ndarray:
         v3, v4, v5 = imgs  # (52^2, in0) / (26^2, in1) / (13^2, in2), NHWC
         out0, out1, out2 = self.out_channels
+        use_quant = (
+            self.fold_bn and not train and quant_int8_enabled(self.quant_int8)
+            and os.environ.get("CRIS_INT8_UPFOLD", "1") == "1"
+        )
 
         # fusion 1: gate v5 with the projected sentence state
         state = LinearBNReLU(out2, dtype=self.dtype, fold_bn=self.fold_bn, name="txt_proj")(state, train)
@@ -52,7 +60,8 @@ class FPN(nn.Module):
         f4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f2_v_proj")(v4, train)
         if fuse:
             f4 = CatUpConvBNReLU(out1, dtype=self.dtype, fold_bn=self.fold_bn,
-                                 name="f2_cat")([f4], f5, train)
+                                 quant_int8=use_quant, name="f2_cat")(
+                                     [f4], f5, train)
         else:
             f5_up = upsample2x(f5)
             f4 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="f2_cat")(
@@ -72,7 +81,8 @@ class FPN(nn.Module):
         fq3 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj3")(f3, train)
         if fuse:
             fq = CatUpConvBNReLU(out1, dtype=self.dtype, fold_bn=self.fold_bn,
-                                 name="aggr")([fq3, fq4], fq5, train)
+                                 quant_int8=use_quant, name="aggr")(
+                                     [fq3, fq4], fq5, train)
         else:
             fq5 = upsample2x(fq5)
             fq = jnp.concatenate([fq3, fq4, fq5], axis=-1)

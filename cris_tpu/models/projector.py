@@ -10,6 +10,7 @@ reference's groups=B grouped conv becomes a batched einsum contraction
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax.numpy as jnp
@@ -17,7 +18,8 @@ from flax import linen as nn
 
 from ..ops.dynamic_conv import dynamic_conv2d
 from ..ops.resize import upsample2x
-from .layers import ConvBNReLU, UpConvBNReLU, auto_fuse_upsample
+from .layers import (ConvBNReLU, UpConvBNReLU, auto_fuse_upsample,
+                     quant_int8_enabled)
 
 Dtype = Any
 
@@ -29,6 +31,9 @@ class Projector(nn.Module):
     dtype: Optional[Dtype] = None
     fold_bn: bool = False
     fuse_upsample: Optional[bool] = None  # None = auto by dtype
+    # opt-in int8 serving path for the upsample-fold cores (fold_bn eval
+    # only; CRIS_INT8_UPFOLD=0 excludes the family in A/B runs)
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(
@@ -45,10 +50,15 @@ class Projector(nn.Module):
 
         # visual trunk: os16 -> os4
         if fuse:
+            use_quant = (
+                self.fold_bn and not train
+                and quant_int8_enabled(self.quant_int8)
+                and os.environ.get("CRIS_INT8_UPFOLD", "1") == "1"
+            )
             x = UpConvBNReLU(2 * c, dtype=self.dtype, fold_bn=self.fold_bn,
-                             name="vis_conv1")(x, train)
+                             quant_int8=use_quant, name="vis_conv1")(x, train)
             x = UpConvBNReLU(c, dtype=self.dtype, fold_bn=self.fold_bn,
-                             name="vis_conv2")(x, train)
+                             quant_int8=use_quant, name="vis_conv2")(x, train)
         else:
             x = upsample2x(x)
             x = ConvBNReLU(2 * c, 3, 1, dtype=self.dtype,

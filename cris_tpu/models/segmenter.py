@@ -72,7 +72,7 @@ class CRIS(nn.Module):
         )
         self.neck = FPN(
             tuple(self.fpn_in), tuple(self.fpn_out), dtype=self.dtype,
-            fold_bn=self.fold_bn,
+            fold_bn=self.fold_bn, quant_int8=self.quant_int8,
         )
         self.decoder = TransformerDecoder(
             num_layers=self.num_layers,
@@ -91,6 +91,7 @@ class CRIS(nn.Module):
             kernel_size=3,
             dtype=self.dtype,
             fold_bn=self.fold_bn,
+            quant_int8=self.quant_int8,
         )
 
     def __call__(

@@ -68,6 +68,7 @@ def int8_conv2d_static(
     strides: Sequence[int] = (1, 1),
     padding="SAME",
     bias: Optional[jnp.ndarray] = None,
+    lhs_dilation: Sequence[int] = (1, 1),
 ) -> jnp.ndarray:
     """int8 conv with a CALIBRATED (static) activation scale.
 
@@ -75,6 +76,11 @@ def int8_conv2d_static(
     so the quantize (scale/round/clip/cast) is a pure elementwise pass
     XLA can fuse into the producing op's epilogue. Activations beyond the
     calibrated range saturate at +-127 (standard PTQ semantics).
+
+    ``lhs_dilation`` supports the upsample-fold sites (ops/upsample_conv):
+    symmetric quantization maps the dilation's inserted zeros to int8
+    zero exactly, so the folded form stays exact w.r.t. the quantized
+    operands.
     """
     kq, k_scale = quantize_channelwise(kernel)
     s = jnp.asarray(act_scale, jnp.float32)
@@ -82,6 +88,7 @@ def int8_conv2d_static(
                   -127, 127).astype(jnp.int8)
     acc = jax.lax.conv_general_dilated(
         xq, kq, tuple(strides), padding,
+        lhs_dilation=tuple(lhs_dilation),
         dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     )
@@ -97,6 +104,7 @@ def int8_conv2d(
     strides: Sequence[int] = (1, 1),
     padding="SAME",
     bias: Optional[jnp.ndarray] = None,
+    lhs_dilation: Sequence[int] = (1, 1),
 ) -> jnp.ndarray:
     """== conv2d(x, kernel) [+ bias] through the int8 MXU path.
 
@@ -108,6 +116,7 @@ def int8_conv2d(
     xq, x_scale = quantize_dynamic(x)
     acc = jax.lax.conv_general_dilated(
         xq, kq, tuple(strides), padding,
+        lhs_dilation=tuple(lhs_dilation),
         dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     )

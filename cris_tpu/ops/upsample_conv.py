@@ -113,12 +113,22 @@ def upsample2x_conv1x1(
     overwritten with directly computed values."""
     if kernel.shape[:2] != (1, 1):
         raise ValueError(f"1x1 kernel required, got {kernel.shape}")
-    _, h, w, _ = x.shape
     kd = kernel.astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, fold_kernel4(kd), (1, 1), [(2, 2), (2, 2)],
         lhs_dilation=(2, 2), dimension_numbers=_DN)
+    return apply_border_ring1x1(y, x, kernel)
 
+
+def apply_border_ring1x1(y: jnp.ndarray, x: jnp.ndarray,
+                         kernel: jnp.ndarray) -> jnp.ndarray:
+    """Overwrite the 1-wide output ring of the ld2 fold_kernel4 core
+    ``y`` with directly computed clamped-edge values (the only rows/cols
+    where the zero-extended dilated core differs from the production
+    clamped upsample). Split out so the int8 serving path can swap the
+    core conv (models/layers.py) while reusing the exactness-critical
+    correction."""
+    _, h, w, _ = x.shape
     xf = x.astype(jnp.float32)
     kf = kernel.astype(jnp.float32)[0, 0]  # (Ci, Co)
     dt = y.dtype
@@ -142,11 +152,23 @@ def upsample2x_conv3x3(
     """== conv3x3_same(upsample2x(x), kernel) [+ bias], NHWC, exactly."""
     if kernel.shape[:2] != (3, 3):
         raise ValueError(f"3x3 kernel required, got {kernel.shape}")
-    _, h, w, _ = x.shape
     kd = kernel.astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, fold_kernel6(kd), (1, 1), [(3, 3), (3, 3)],
         lhs_dilation=(2, 2), dimension_numbers=_DN)
+    y = apply_border_correction3x3(y, x, kernel)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def apply_border_correction3x3(y: jnp.ndarray, x: jnp.ndarray,
+                               kernel: jnp.ndarray) -> jnp.ndarray:
+    """Add the clamped-edge border correction to the ld2 fold_kernel6
+    core ``y`` (see module docstring for the algebra). Split out so the
+    int8 serving path can swap the core conv (models/layers.py) while
+    reusing the exactness-critical correction."""
+    _, h, w, _ = x.shape
 
     # border correction (strips in f32: thin, exactness-critical)
     xf = x.astype(jnp.float32)
@@ -192,7 +214,4 @@ def upsample2x_conv3x3(
     y = y.at[:, 2 * h - 2:2 * h].add(corr_bot.astype(dt))
     y = y.at[:, :, 0:2].add(corr_left.astype(dt))
     y = y.at[:, :, 2 * w - 2:2 * w].add(corr_right.astype(dt))
-
-    if bias is not None:
-        y = y + bias.astype(dt)
     return y

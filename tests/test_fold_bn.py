@@ -265,6 +265,69 @@ def test_quant_int8_pooled_and_s2d_sites(monkeypatch):
     assert "backbone/visual/conv2/act_scale" in flat_hi  # stem unaffected
 
 
+def test_quant_int8_upfold_sites(monkeypatch):
+    """int8 coverage of the upsample-fold (lhs_dilated) conv sites
+    (UpConvBNReLU / CatUpConvBNReLU up-cores): calibration sows their
+    activation scales, the static path engages (border corrections stay
+    exact) and stays within the PTQ error band, scale-less runs fall
+    back to plain, and CRIS_INT8_UPFOLD=0 excludes the family."""
+    from cris_tpu.checkpoint import calibrate_act_scales, fold_batchnorm
+
+    monkeypatch.setenv("CRIS_INT8_MIN_CH", "1")
+    monkeypatch.setenv("CRIS_INT8_UPFOLD_MIN_CH", "1")
+    # engage the fused-upsample graph in the f32 test harness
+    monkeypatch.setenv("CRIS_FUSE_UPSAMPLE", "1")
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(1, 49000, (2, 17)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, word, train=False)
+
+    folded_model = dataclasses.replace(model, fold_bn=True)
+    folded_vars = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+    ref = np.asarray(folded_model.apply(folded_vars, img, word, train=False))
+
+    quant_model = dataclasses.replace(folded_model, quant_int8=True)
+    # no stored scales: upfold sites run PLAIN (QuantConv sites dynamic)
+    got_nostatic = np.asarray(
+        quant_model.apply(folded_vars, img, word, train=False))
+    rel = np.linalg.norm(got_nostatic - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert 0 < rel < 0.1, rel
+
+    scales = calibrate_act_scales(quant_model, folded_vars, [(img, word)])
+    flat = {
+        "/".join(map(str, k)).replace("['", "").replace("']", "")
+        for k, _ in jax.tree_util.tree_flatten_with_path(scales)[0]
+    }
+    for site in (
+        "neck/f2_cat/act_scale",        # CatUpConvBNReLU up-core
+        "neck/aggr/act_scale",
+        "proj/vis_conv1/act_scale",     # UpConvBNReLU ld2 core
+        "proj/vis_conv2/act_scale",
+    ):
+        assert site in flat, (site, sorted(flat)[:12])
+
+    got = np.asarray(quant_model.apply(
+        {**folded_vars, "quant": scales}, img, word, train=False))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert 0 < rel < 0.1, rel
+    thr = np.log(0.35 / 0.65)
+    assert np.mean((got > thr) == (ref > thr)) > 0.97
+    # the static program must actually differ (the upfold sites engaged)
+    assert not np.array_equal(got, got_nostatic)
+
+    # the family gate excludes the sites from calibration again
+    monkeypatch.setenv("CRIS_INT8_UPFOLD", "0")
+    scales_off = calibrate_act_scales(quant_model, folded_vars, [(img, word)])
+    flat_off = {
+        "/".join(map(str, k)).replace("['", "").replace("']", "")
+        for k, _ in jax.tree_util.tree_flatten_with_path(scales_off)[0]
+    }
+    assert "proj/vis_conv1/act_scale" not in flat_off
+    assert "neck/f2_cat/act_scale" not in flat_off
+
+
 def test_act_scales_save_load_roundtrip(tmp_path):
     from cris_tpu.checkpoint import load_act_scales, save_act_scales
 

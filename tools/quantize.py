@@ -38,6 +38,9 @@ def main():
                     " >= this (ops measured per family in "
                     "tools/bench_int8_more.py: 128->512 k2s2 loses, "
                     ">=256-min-ch pooled sites win); recorded in the .npz")
+    ap.add_argument("--upfold-min-ch", type=int, default=256,
+                    help="upsample-fold (lhs_dilated) conv sites quantize "
+                    "at min(cin, cout) >= this; recorded in the .npz")
     ap.add_argument("--pct", type=float, default=0.0,
                     help="calibrate to this percentile of |x| instead of "
                     "maxabs (e.g. 99.9; outlier-robust, clips the tail)")
@@ -47,6 +50,7 @@ def main():
         os.environ["CRIS_INT8_CALIB_PCT"] = str(args.pct)
     os.environ["CRIS_INT8_MIN_CH"] = str(args.min_ch)
     os.environ["CRIS_INT8_POOLED_MIN_CH"] = str(args.pooled_min_ch)
+    os.environ["CRIS_INT8_UPFOLD_MIN_CH"] = str(args.upfold_min_ch)
 
     from cris_tpu import cli
     from cris_tpu.utils.config import (
@@ -137,7 +141,8 @@ def main():
     out = os.path.join(cfg.output_dir, "quant_scales.npz")
     os.makedirs(cfg.output_dir, exist_ok=True)
     save_act_scales(out, scales, min_ch=args.min_ch,
-                    pooled_min_ch=args.pooled_min_ch)
+                    pooled_min_ch=args.pooled_min_ch,
+                    upfold_min_ch=args.upfold_min_ch)
     n = len(jax.tree_util.tree_leaves(scales))
     print(f"=> wrote {n} activation scales to {out}", flush=True)
 
