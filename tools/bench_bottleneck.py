@@ -38,13 +38,9 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
 
-    # probe loop: absorb any relay stall before timing (CLAUDE.md)
-    rng = np.random.RandomState(0)
-    for i in range(3):
-        t0 = time.monotonic()
-        x = jnp.asarray(rng.randn(256, 256).astype(np.float32))
-        float((x @ x).sum())
-        print(f"probe {i}: {time.monotonic() - t0:.1f}s", flush=True)
+    from tools._bench_common import probe
+
+    probe()
 
     def xla_block(x, w1, b1, w2, b2, w3, b3):
         h1 = jax.nn.relu(jnp.einsum("bhwc,cm->bhwm", x, w1) + b1).astype(x.dtype)

@@ -25,14 +25,11 @@ def main():
     import jax.numpy as jnp
 
     from cris_tpu.ops.dynamic_conv import dynamic_conv2d
+    from tools._bench_common import probe
 
     print("devices:", jax.devices(), flush=True)
+    probe()
     r = np.random.RandomState(0)
-    for i in range(3):
-        t0 = time.monotonic()
-        x = jnp.asarray(r.randn(256, 256).astype(np.float32))
-        float((x @ x).sum())
-        print(f"probe {i}: {time.monotonic() - t0:.1f}s", flush=True)
 
     bf = lambda a: jnp.asarray(a.astype(np.float32), jnp.bfloat16)
     x0 = bf(r.randn(BATCH, 104, 104, 256) * 0.5)

@@ -43,13 +43,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tools._bench_common import probe
+
     print("devices:", jax.devices(), flush=True)
-    rng = np.random.RandomState(0)
-    for i in range(3):
-        t0 = time.monotonic()
-        x = jnp.asarray(rng.randn(256, 256).astype(np.float32))
-        float((x @ x).sum())
-        print(f"probe {i}: {time.monotonic() - t0:.1f}s", flush=True)
+    probe()
 
     def conv(x, k, out_dtype):
         return jax.lax.conv_general_dilated(

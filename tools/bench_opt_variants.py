@@ -31,22 +31,6 @@ import numpy as np
 BATCH = 32
 
 
-def marginal(timed, label):
-    ts = {}
-    for n in (2, 12):
-        t0 = time.monotonic()
-        timed(n, 100 + n)
-        print(f"  {label} n={n}: compile+1st {time.monotonic() - t0:.1f}s",
-              flush=True)
-        best = 1e9
-        for rep in range(3):
-            best = min(best, timed(n, 1000 + 31 * rep + n))
-        ts[n] = best
-    ms = (ts[12] - ts[2]) / 10 * 1e3
-    print(f"  {label}: {ms:.2f} ms/iter", flush=True)
-    return ms
-
-
 def main():
     from cris_tpu import cli
 
@@ -60,15 +44,11 @@ def main():
     from cris_tpu.engine.metrics import train_metrics
     from cris_tpu.engine.trainer import create_train_state, make_optimizer
     from cris_tpu.utils.config import CfgNode
+    from tools._bench_common import marginal, probe
 
     bench.BATCH = BATCH
     print("devices:", jax.devices(), flush=True)
-    rng = np.random.RandomState(0)
-    for i in range(3):
-        t0 = time.monotonic()
-        x = jnp.asarray(rng.randn(256, 256).astype(np.float32))
-        float((x @ x).sum())
-        print(f"probe {i}: {time.monotonic() - t0:.1f}s", flush=True)
+    probe()
 
     model, variables = bench.build_model("RN50", fold_bn=False)
     cfg = CfgNode({"base_lr": 1e-4, "lr_multi": 0.1, "milestones": [35],

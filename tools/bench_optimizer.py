@@ -37,13 +37,10 @@ def main():
     from cris_tpu.engine.trainer import create_train_state, make_optimizer
     from cris_tpu.utils.config import CfgNode
 
+    from tools._bench_common import marginal, probe
+
     print("devices:", jax.devices(), flush=True)
-    r = np.random.RandomState(0)
-    for i in range(3):
-        t0 = time.monotonic()
-        x = jnp.asarray(r.randn(256, 256).astype(np.float32))
-        float((x @ x).sum())
-        print(f"probe {i}: {time.monotonic() - t0:.1f}s", flush=True)
+    probe()
 
     model, variables = bench.build_model("RN50", fold_bn=False)
     cfg = CfgNode({"base_lr": 1e-4, "lr_multi": 0.1, "milestones": [35],
@@ -76,14 +73,7 @@ def main():
             float(run(state, seeds, n=n))
             return time.monotonic() - t0
 
-        ts = {}
-        for n in (2, 12):
-            timed(n, 100 + n)
-            best = min(timed(n, 1000 + 31 * k + n) for k in range(3))
-            ts[n] = best
-        ms = (ts[12] - ts[2]) / 10 * 1e3
-        print(f"  {label}: {ms:.2f} ms/iter", flush=True)
-        return ms
+        return marginal(timed, label)
 
     bench_tx("multi_transform (production)", make_optimizer(cfg, 1000))
     bench_tx("plain adam", optax.adam(1e-4))
@@ -102,18 +92,12 @@ def main():
         acc, _ = jax.lax.scan(body, 0.0, seeds)
         return acc
 
-    ts = {}
-    for n in (2, 12):
-        seeds = jnp.arange(100, 100 + n)
-        float(run_metrics(seeds, n=n))
-        best = 1e9
-        for k in range(3):
-            t0 = time.monotonic()
-            float(run_metrics(jnp.arange(1000 + k, 1000 + k + n), n=n))
-            best = min(best, time.monotonic() - t0)
-        ts[n] = best
-    print(f"  train_metrics: {(ts[12] - ts[2]) / 10 * 1e3:.2f} ms/iter",
-          flush=True)
+    def timed_metrics(n, seed):
+        t0 = time.monotonic()
+        float(run_metrics(jnp.arange(seed, seed + n), n=n))
+        return time.monotonic() - t0
+
+    marginal(timed_metrics, "train_metrics")
 
 
 if __name__ == "__main__":

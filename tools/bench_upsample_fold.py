@@ -50,14 +50,11 @@ def main():
     import jax.numpy as jnp
 
     from cris_tpu.ops.resize import upsample2x
+    from tools._bench_common import probe
 
     print("devices:", jax.devices(), flush=True)
+    probe()
     rng = np.random.RandomState(0)
-    for i in range(3):
-        t0 = time.monotonic()
-        x = jnp.asarray(rng.randn(256, 256).astype(np.float32))
-        float((x @ x).sum())
-        print(f"probe {i}: {time.monotonic() - t0:.1f}s", flush=True)
 
     dn = ("NHWC", "HWIO", "NHWC")
 

@@ -39,18 +39,26 @@ PEAK_BF16_TFLOPS = 197.0  # v5e MXU bf16 peak
 PEAK_INT8_TOPS = 394.0
 
 
+PRIMS = ("conv_general_dilated", "dot_general")
+
+
 def collect_convs(jaxpr, mult=1, out=None):
-    """Walk a jaxpr, yielding (eqn, multiplicity) for every conv;
-    recurses through scan (x length), pjit/remat/custom_* (x1), cond
-    branches (x1 each, upper bound)."""
+    """Walk a jaxpr, yielding (eqn, multiplicity) for every conv AND
+    dot_general (the decoder/attnpool matmuls and the bwd's transposed
+    dots); recurses through scan (x length), pjit/remat/custom_* (x1),
+    cond branches (x1 each, upper bound)."""
     from jax._src import core
 
     if out is None:
         out = []
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
-        if name == "conv_general_dilated":
+        if name in PRIMS:
             out.append((eqn, mult))
+            continue
+        if name == "pallas_call":
+            # in-kernel dots operate on VMEM blocks, not XLA arrays --
+            # benching them as standalone XLA ops would be meaningless
             continue
         if name == "scan":
             collect_convs(eqn.params["jaxpr"].jaxpr,
@@ -78,17 +86,28 @@ def collect_convs(jaxpr, mult=1, out=None):
 
 
 def conv_signature(eqn):
-    """Hashable full signature of a conv eqn (shapes+dtypes+params).
+    """Hashable full signature of a conv or dot_general eqn
+    (shapes+dtypes+params), tagged by kind in slot 0.
 
-    dimension_numbers is kept as the real ConvDimensionNumbers (a
-    NamedTuple of int tuples, hashable): the bwd wgrad convs permute
+    For convs, dimension_numbers is kept as the real ConvDimensionNumbers
+    (a NamedTuple of int tuples, hashable): the bwd wgrad convs permute
     batch/feature roles, so NHWC must not be assumed.
     """
     lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
     outv = eqn.outvars[0].aval
     p = eqn.params
     pet = p.get("preferred_element_type")
+    if eqn.primitive.name == "dot_general":
+        (lc, rc), (lb, rb) = p["dimension_numbers"]
+        return (
+            "dot",
+            tuple(lhs.shape), str(lhs.dtype), tuple(rhs.shape),
+            str(rhs.dtype), tuple(outv.shape), str(outv.dtype),
+            (tuple(lc), tuple(rc)), (tuple(lb), tuple(rb)),
+            None if pet is None else str(pet),
+        )
     return (
+        "conv",
         tuple(lhs.shape), str(lhs.dtype), tuple(rhs.shape), str(rhs.dtype),
         tuple(outv.shape), str(outv.dtype),
         tuple(p["window_strides"]), tuple(map(tuple, p["padding"])),
@@ -99,23 +118,36 @@ def conv_signature(eqn):
 
 
 def sig_flops(sig):
-    """Nominal MACs x2: out_elems * (kernel elems per output feature)."""
-    rhs_shape, out_shape, dn = sig[2], sig[4], sig[11]
+    """Nominal MACs x2: out_elems * (contracted elems per output)."""
+    out_elems = 1
+    for d in sig[5]:
+        out_elems *= d
+    if sig[0] == "dot":
+        k_elems = 1
+        for i in sig[7][0]:  # lhs contracting dims
+            k_elems *= sig[1][i]
+        return 2 * out_elems * k_elems
+    rhs_shape, dn = sig[3], sig[12]
     cout = rhs_shape[dn.rhs_spec[0]]
     k_elems = 1
     for d in rhs_shape:
         k_elems *= d
     k_elems //= cout
-    out_elems = 1
-    for d in out_shape:
-        out_elems *= d
     return 2 * out_elems * k_elems
 
 
 def sig_label(sig):
-    lhs_shape, lhs_dt, rhs_shape = sig[0], sig[1], sig[2]
+    if sig[0] == "dot":
+        lhs_shape, lhs_dt, rhs_shape = sig[1], sig[2], sig[3]
+        (lc, rc), (lb, rb) = sig[7], sig[8]
+        dt = "bf16" if lhs_dt == "bfloat16" else lhs_dt
+        sl = "x".join(str(d) for d in lhs_shape)
+        sr = "x".join(str(d) for d in rhs_shape)
+        extras = f" bd{len(lb)}" if lb else ""
+        return (f"dot {sl}@{sr} c{list(lc)}:{list(rc)}{extras} {dt}")
+    lhs_shape, lhs_dt, rhs_shape = sig[1], sig[2], sig[3]
     strides, padding, lhs_dil, rhs_dil, fgc, dn = (
-        sig[6], sig[7], sig[8], sig[9], sig[10], sig[11])
+        sig[7], sig[8], sig[9], sig[10], sig[11], sig[12])
     n = lhs_shape[dn.lhs_spec[0]]
     cin = lhs_shape[dn.lhs_spec[1]]
     spatial = [lhs_shape[i] for i in dn.lhs_spec[2:]]
@@ -155,8 +187,8 @@ def bench_one(sig, n_short=8, n_long=88, trials=3):
     import jax
     import jax.numpy as jnp
 
-    (lhs_shape, lhs_dt, rhs_shape, rhs_dt, _out, _odt, strides, padding,
-     lhs_dil, rhs_dil, fgc, dn, pet) = sig
+    kind, lhs_shape, lhs_dt, rhs_shape, rhs_dt = sig[:5]
+    pet = sig[-1]
     lhs_dtype = jnp.dtype(lhs_dt)
     rhs_dtype = jnp.dtype(rhs_dt)
     if pet in ("None", None):
@@ -166,13 +198,23 @@ def bench_one(sig, n_short=8, n_long=88, trials=3):
         name = pet.split("'")[1].rsplit(".", 1)[-1] if "'" in pet else pet
         pref = jnp.dtype(name)
 
-    def conv(x, k):
-        return jax.lax.conv_general_dilated(
-            x, k, strides, list(padding),
-            lhs_dilation=lhs_dil, rhs_dilation=rhs_dil,
-            dimension_numbers=dn,
-            feature_group_count=fgc,
-            preferred_element_type=pref)
+    if kind == "dot":
+        dot_dn = (sig[7], sig[8])
+
+        def conv(x, k):
+            return jax.lax.dot_general(
+                x, k, dimension_numbers=dot_dn,
+                preferred_element_type=pref)
+    else:
+        strides, padding, lhs_dil, rhs_dil, fgc, dn = sig[7:13]
+
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, strides, list(padding),
+                lhs_dilation=lhs_dil, rhs_dilation=rhs_dil,
+                dimension_numbers=dn,
+                feature_group_count=fgc,
+                preferred_element_type=pref)
 
     n_stack = min(8, n_short)
 
