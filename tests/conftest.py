@@ -27,6 +27,28 @@ if REPO_ROOT not in sys.path:
 
 REFERENCE_ROOT = "/root/reference"
 
+# Compile-heavy modules (multi-device pjit programs, HTTP serving warmup,
+# full-model parametrization sweeps). One XLA:CPU process accumulates
+# compile state across these until it segfaults (~90% of the mega-run,
+# >40 min on this 1-CPU host); tests/run_all.py gives each its own
+# process. `pytest tests/ -q` still collects everything -- use
+# `-m "not heavy"` for the single-process tier.
+HEAVY_MODULES = {
+    "test_parallel",
+    "test_multihost",
+    "test_serving",
+    "test_s2d",
+    "test_convergence",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in HEAVY_MODULES:
+            item.add_marker(pytest.mark.heavy)
+
 
 def tiny_cris(dropout=0.1, dtype=None, vocab_size=49408):
     """A small but structurally complete CRIS for engine/parallel tests:

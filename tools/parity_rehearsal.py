@@ -299,6 +299,8 @@ def run_our_stack(base_config, ckpt_path, data_uri, mask_root, out_dir,
     raw["TRAIN"]["output_folder"] = os.path.join(out_dir, "exp")
     raw["TRAIN"]["exp_name"] = "REHEARSAL"
     raw["DATA"]["mask_root"] = mask_root
+    raw["DATA"]["val_lmdb"] = data_uri
+    raw["DATA"]["val_split"] = "val-test"
     raw["TEST"]["test_lmdb"] = data_uri
     raw["TEST"]["test_split"] = "val-test"
     raw["TRAIN"]["batch_size_val"] = max(8, min(32, n_pairs_hint))
@@ -308,6 +310,23 @@ def run_our_stack(base_config, ckpt_path, data_uri, mask_root, out_dir,
 
     env = dict(os.environ)
     env.setdefault("CRIS_PLATFORM", "cpu")
+
+    if precision == "int8":
+        # production static-int8 serving config (VERDICT r4 task 7):
+        # quantize.py defaults = min_ch 64 + pooled/s2d/upfold family
+        # gates, calibrated on the val split at the 99.9th percentile;
+        # writes {exp}/quant_scales.npz which test.py picks up.
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "tools/quantize.py"),
+             "--config", cfg_path, "--pct", "99.9",
+             "--batches", "2", "--batch-size", str(max(2, min(8, n_pairs_hint)))],
+            cwd=REPO_ROOT, env=env, capture_output=True, text=True,
+            timeout=3600,
+        )
+        sys.stdout.write(proc.stdout[-1500:])
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"quantize.py failed rc={proc.returncode}")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "test.py"),
          "--config", cfg_path],
