@@ -44,6 +44,7 @@ QUEUES = {
         ("tools.bench_int8_dot", []),
     ],
     "B": [
+        ("tools.bench_upfold_phase", []),
         ("tools.bench_batch_sweep", []),
         ("tools.conv_audit#train", ["--mode", "train", "--no-model"]),
     ],
