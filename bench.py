@@ -19,8 +19,12 @@ Metrics (all batch 32, 416x416, bf16, per chip):
   5. cris_r50_eval_int8_throughput_416px_b32 -- the opt-in int8 serving
      mode (static-calibrated activation scales, ops/quant.py); NOT the
      parity path (quantization error ~1%/conv). vs_baseline = value/100
-     like metric 1. Round-4 A/B on the s2d-stem graph: 919.8 static vs
-     900.1 dynamic vs 878.7 bf16 (tools/ab_int8.py).
+     like metric 1. Round-5 family attribution (tools/ab_int8.py):
+     bf16 876.6 -> QuantConv 938.8 -> +pooled/+s2d-stem 1000.2 img/s.
+  6. cris_r50_eval_int8_throughput_416px_b16 -- the same int8 path at the
+     measured SERVING optimum batch (tools/bench_batch_sweep.py round 5:
+     int8 peaks at b16 -- 1016.1 vs 999.5 b32 / 957.9 b64 -- and b16
+     halves the per-request latency; PredictService default max_batch=16).
 
 Methodology: each loop runs as ONE jitted lax.scan over n pre-generated
 device-resident batches (how a production loop feeds a TPU), timed at two
@@ -63,6 +67,7 @@ BASELINES = {
     "cris_r101_eval_throughput_416px_b32": 638.0,  # our round-1 rate
     # same A100-estimate denominator as the headline eval metric
     "cris_r50_eval_int8_throughput_416px_b32": 100.0,
+    "cris_r50_eval_int8_throughput_416px_b16": 100.0,
 }
 
 
@@ -422,13 +427,24 @@ def main():
         # it too so the leaked value cannot apply to any later model build
         # in the same process (ADVICE r4)
         saved_min_ch = os.environ.get("CRIS_INT8_MIN_CH")
+        global BATCH
         try:
             run_metric(
                 "cris_r50_eval_int8_throughput_416px_b32",
                 lambda: make_eval_bench("RN50"),
-                budget_s=time_left() - 10.0, trials=2, required=False,
+                budget_s=max(60.0, time_left() - 120.0), trials=2,
+                required=False,
             )
+            # the measured serving-optimum batch (metric 6; sweep r5)
+            if time_left() > 60:
+                BATCH = 16
+                run_metric(
+                    "cris_r50_eval_int8_throughput_416px_b16",
+                    lambda: make_eval_bench("RN50"),
+                    budget_s=time_left() - 10.0, trials=2, required=False,
+                )
         finally:
+            BATCH = 32
             os.environ.pop("CRIS_INT8", None)
             os.environ.pop("CRIS_INT8_STATIC", None)
             if saved_min_ch is None:

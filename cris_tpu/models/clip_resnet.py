@@ -24,7 +24,7 @@ from ..ops.attention import dot_product_attention
 from ..ops.resize import avg_pool2d, resize2d
 from .layers import (
     BatchNorm, ConvParams, PooledConv1x1, QuantConv, S2dConv3x3,
-    S2dPooledConv1x1, quant_int8_enabled,
+    S2dPooledConv1x1, quant_int8_enabled, token_flat,
 )
 
 Dtype = Any
@@ -309,14 +309,16 @@ class AttentionPool2d(nn.Module):
         grid_pos = resize2d(grid_pos, (h, w), "bicubic", align_corners=False)
         tokens = x.reshape(b, h * w, c) + grid_pos.reshape(1, h * w, c).astype(x.dtype)
 
+        # projections token-flattened: 3D-batched dots lower ~2.4x slower
+        # than the identical 2D form on v5e (layers.token_flat)
         dense = lambda feats, name: nn.Dense(
             feats, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
-        q = dense(self.embed_dim, "q_proj")(tokens)
-        k = dense(self.embed_dim, "k_proj")(tokens)
-        v = dense(self.embed_dim, "v_proj")(tokens)
+        q = token_flat(dense(self.embed_dim, "q_proj"), tokens)
+        k = token_flat(dense(self.embed_dim, "k_proj"), tokens)
+        v = token_flat(dense(self.embed_dim, "v_proj"), tokens)
         attn = dot_product_attention(q, k, v, self.num_heads)
-        out = dense(self.output_dim, "c_proj")(attn)
+        out = token_flat(dense(self.output_dim, "c_proj"), attn)
 
         return nn.relu(out.reshape(b, h, w, self.output_dim) + res)
 

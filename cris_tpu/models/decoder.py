@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
 from ..ops.posenc import sincos_1d, sincos_2d
-from .layers import LayerNormF32
+from .layers import LayerNormF32, token_flat
 
 Dtype = Any
 
@@ -46,12 +46,14 @@ class MultiheadAttention(nn.Module):
         key_padding_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
+        # projections run token-flattened: the 3D-batched dot lowers
+        # ~2.4x slower on v5e than the identical 2D form (layers.token_flat)
         dense = lambda name: nn.Dense(
             self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
-        q = dense("q_proj")(query)
-        k = dense("k_proj")(key)
-        v = dense("v_proj")(value)
+        q = token_flat(dense("q_proj"), query)
+        k = token_flat(dense("k_proj"), key)
+        v = token_flat(dense("v_proj"), value)
         dropout_rng = None
         if train and self.dropout > 0.0:
             dropout_rng = self.make_rng("dropout")
@@ -65,7 +67,7 @@ class MultiheadAttention(nn.Module):
             dropout_rng=dropout_rng,
             deterministic=not train,
         )
-        return dense("out_proj")(out)
+        return token_flat(dense("out_proj"), out)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -108,18 +110,19 @@ class TransformerDecoderLayer(nn.Module):
         y = ln("cross_attn_norm")(y)
         vis = vis + drop("dropout2")(y, deterministic=not train)
 
-        # FFN with internal LayerNorm (layers.py:209-212)
+        # FFN with internal LayerNorm (layers.py:209-212); dots run
+        # token-flattened (layers.token_flat)
         y = ln("norm3")(vis)
-        y = nn.Dense(
+        y = token_flat(nn.Dense(
             self.dim_feedforward, dtype=self.dtype, param_dtype=jnp.float32,
             name="ffn_fc1",
-        )(y)
+        ), y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, name="ffn_dropout")(y, deterministic=not train)
         y = LayerNormF32(self.dim_feedforward, name="ffn_norm")(y)
-        y = nn.Dense(
+        y = token_flat(nn.Dense(
             self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name="ffn_fc2"
-        )(y)
+        ), y)
         vis = vis + drop("dropout3")(y, deterministic=not train)
         return vis
 

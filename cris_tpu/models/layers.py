@@ -203,23 +203,26 @@ def upfold_quant_min_ch() -> int:
     """min(cin, cout) threshold for quantizing the upsample-fold
     (lhs_dilated) conv sites (UpConvBNReLU / CatUpConvBNReLU up-cores).
     Separate env knob so the family can be excluded wholesale
-    (CRIS_INT8_UPFOLD_MIN_CH=99999) in A/B runs."""
+    (CRIS_INT8_UPFOLD_MIN_CH=99999) in A/B runs.
+
+    NOTE: the whole family defaults OFF (CRIS_INT8_UPFOLD, read at the
+    FPN/Projector wiring): XLA's TPU int8 conv path runs lhs_dilated
+    convs at bf16 speed, not 2x (tools/bench_int8_more.py ld2 rows:
+    52^2 512->256 k6 ld2 4.31 bf16 vs 4.45 ms int8), so quantizing them
+    only adds the quantize pass -- in-model 1000.2 -> 966.0 img/s
+    (tools/ab_int8.py round 5)."""
     return int(os.environ.get("CRIS_INT8_UPFOLD_MIN_CH", "256"))
 
 
-def _quant_conv_site(mod: nn.Module, x, kernel, strides, padding, bias,
-                     dtype, plain_fn, dynamic_fallback: bool = True,
-                     lhs_dilation=(1, 1)):
-    """Shared int8-site logic (calibration sow / calibrated-static path /
-    optional dynamic fallback / error-audit hook) over the HWIO kernel
-    that is ACTUALLY convolved -- embedded forms (pooled k2/s2 expansions,
-    s2d-resident kernels) included. ``plain_fn`` is the site's exact
-    unquantized computation; with ``dynamic_fallback=False`` the site runs
-    plain unless a calibrated static scale is stored (per-dispatch maxabs
-    reduces over wide tensors measured slower than bf16 -- CLAUDE.md
-    round-4 dyn-at-min_ch-64 negative)."""
-    from ..ops.quant import int8_conv2d, int8_conv2d_static
-
+def _quant_site(mod: nn.Module, x, dtype, plain_fn, static_fn,
+                dynamic_fn=None):
+    """Core int8-site wrapper shared by every quantized-site form
+    (plain/pooled/s2d convs, upsample-fold phase cores): calibration sow,
+    calibrated-static dispatch, optional dynamic fallback, error-audit
+    hook. ``plain_fn()`` is the site's exact unquantized computation;
+    ``static_fn(act_scale)`` its quantized form given the calibrated
+    scale; ``dynamic_fn()`` (optional) a per-dispatch-scale form used
+    when no calibrated scale is stored."""
     # calibration pass (checkpoint/calibrate.py drives this with
     # CRIS_INT8_CALIB=1 + mutable=["quant_stats"]): record the activation
     # range statistic and run the PLAIN conv (scales unknown yet).
@@ -241,12 +244,9 @@ def _quant_conv_site(mod: nn.Module, x, kernel, strides, padding, bias,
         # calibrated static scale: the quantize pass has no reduce
         # dependency, so it fuses into the producer's epilogue
         s = mod.get_variable("quant", "act_scale")
-        got = int8_conv2d_static(
-            x, kernel, s, strides, padding, bias,
-            lhs_dilation=lhs_dilation).astype(dtype)
-    elif dynamic_fallback:
-        got = int8_conv2d(x, kernel, strides, padding, bias,
-                          lhs_dilation=lhs_dilation).astype(dtype)
+        got = static_fn(s).astype(dtype)
+    elif dynamic_fn is not None:
+        got = dynamic_fn().astype(dtype)
     else:
         return plain_fn()
 
@@ -270,6 +270,29 @@ def _quant_conv_site(mod: nn.Module, x, kernel, strides, padding, bias,
         )
         return got if audit == "compound" else ref
     return got
+
+
+def _quant_conv_site(mod: nn.Module, x, kernel, strides, padding, bias,
+                     dtype, plain_fn, dynamic_fallback: bool = True,
+                     lhs_dilation=(1, 1)):
+    """int8 site over the HWIO kernel that is ACTUALLY convolved --
+    embedded forms (pooled k2/s2 expansions, s2d-resident kernels)
+    included. With ``dynamic_fallback=False`` the site runs plain unless
+    a calibrated static scale is stored (per-dispatch maxabs reduces
+    over wide tensors measured slower than bf16 -- CLAUDE.md round-4
+    dyn-at-min_ch-64 negative)."""
+    from ..ops.quant import int8_conv2d, int8_conv2d_static
+
+    return _quant_site(
+        mod, x, dtype, plain_fn,
+        static_fn=lambda s: int8_conv2d_static(
+            x, kernel, s, strides, padding, bias,
+            lhs_dilation=lhs_dilation),
+        dynamic_fn=(
+            (lambda: int8_conv2d(x, kernel, strides, padding, bias,
+                                 lhs_dilation=lhs_dilation))
+            if dynamic_fallback else None),
+    )
 
 
 class QuantConv(nn.Module):
@@ -467,6 +490,28 @@ class ConvBNReLU(nn.Module):
         return nn.relu(x)
 
 
+def token_flat(fn, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply ``fn`` (a Dense / Dense chain over the last dim) to a
+    token tensor (B, S, E) through a FLATTENED (B*S, E) view.
+
+    XLA:TPU lowers the 3D-batched projection dot ~2.4x slower than the
+    mathematically identical 2D form (round-5 train audit:
+    (32,676,512)@(512,512) c[2]:[0] runs 80.9 TF/s standalone vs 197.8
+    flattened, tools/bench_int8_dot.py) -- ~16 ms of the train step and
+    ~2 ms of the eval step sit in these dots. Auto-gated like the other
+    graph transforms: flatten for sub-f32 compute dtypes, keep the
+    reference 3D op order for f32 (exact torch-trajectory parity and
+    pinned goldens; the accumulation ORDER can differ between forms).
+    CRIS_FLAT_DOTS=0/1 overrides (A/B hook)."""
+    env = os.environ.get("CRIS_FLAT_DOTS")
+    flat = (x.dtype != jnp.float32) if env is None else env == "1"
+    if not flat or x.ndim <= 2:
+        return fn(x)
+    lead = x.shape[:-1]
+    y = fn(x.reshape(-1, x.shape[-1]))
+    return y.reshape(*lead, y.shape[-1])
+
+
 def auto_fuse_upsample(fuse_upsample: Optional[bool], dtype) -> bool:
     """Fold bilinear upsamples into the following convs?
 
@@ -492,10 +537,12 @@ class CatUpConvBNReLU(nn.Module):
     Parameter tree identical to ConvBNReLU(features, 1, 0) on the concat,
     so checkpoints are interchangeable with the reference-order path.
 
-    quant_int8: int8 serving path over the up-branch's embedded ld2
-    fold_kernel4 core (static calibrated scale only; the border ring
-    stays exact f32 either way). The cat-branch einsum stays bf16 (it is
-    a dot_general -- the int8 dot question is tracked separately)."""
+    quant_int8: int8 serving path over the up-branch core via the PHASE
+    decomposition (four non-dilated k2 convs, ops/upsample_conv.py
+    phase_kernels4 -- the ld2 form itself runs at bf16 rate under int8,
+    round-5 negative; static calibrated scale only; the border ring
+    stays exact f32 either way). The cat-branch einsum stays bf16 (int8
+    dot_general measured a negative at these shapes, bench_int8_dot)."""
 
     features: int
     dtype: Optional[Dtype] = None
@@ -519,8 +566,12 @@ class CatUpConvBNReLU(nn.Module):
                        kernel[0, 0, :ca].astype(dt))
         if (self.quant_int8
                 and min(cu, self.features) >= upfold_quant_min_ch()):
+            from ..ops.quant import int8_phase_conv_static
+            from ..ops.upsample_conv import PHASE_PADS4, phase_kernels4
+
             k_up = kernel[:, :, ca:]
             k4 = fold_kernel4(k_up)
+            pk4 = phase_kernels4(k_up)
             up_dt = up.astype(dt)
 
             def plain_core():
@@ -529,9 +580,14 @@ class CatUpConvBNReLU(nn.Module):
                     lhs_dilation=(2, 2),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-            core = _quant_conv_site(
-                self, up_dt, k4, (1, 1), [(2, 2), (2, 2)], None, dt,
-                plain_core, dynamic_fallback=False, lhs_dilation=(2, 2))
+            # int8 static via the PHASE decomposition (four non-dilated
+            # k2 convs + interleave == the ld2 core, borders included):
+            # the ld2 int8 conv itself runs at bf16 rate (round-5 ld2
+            # negative), the phase convs hit the int8 2x peak
+            core = _quant_site(
+                self, up_dt, dt, plain_core,
+                static_fn=lambda s: int8_phase_conv_static(
+                    up_dt, pk4, PHASE_PADS4, s))
             y = y + apply_border_ring1x1(core, up_dt, k_up)
         else:
             y = y + upsample2x_conv1x1(up.astype(dt), kernel[:, :, ca:])
@@ -553,9 +609,12 @@ class UpConvBNReLU(nn.Module):
     52->104 512->256 site drops 9.55 -> 7.98 ms fwd, 10.34 -> 8.51
     fwd+bwd; the 26->52 512->512 site 3.00 -> 2.47 fwd.
 
-    quant_int8: int8 serving path over the embedded ld2 fold_kernel6
-    core (static calibrated scale only; the border correction strips
-    stay exact f32 either way)."""
+    quant_int8: int8 serving path over the core via the PHASE
+    decomposition (four non-dilated SAME k3 convs + interleave ==
+    the ld2 core exactly, ops/upsample_conv.py phase_kernels6; the ld2
+    form itself runs at bf16 rate under int8 -- round-5 negative;
+    static calibrated scale only; the border correction strips stay
+    exact f32 either way)."""
 
     features: int
     dtype: Optional[Dtype] = None
@@ -575,7 +634,11 @@ class UpConvBNReLU(nn.Module):
         dt = self.dtype or x.dtype
         if (self.quant_int8
                 and min(ci, self.features) >= upfold_quant_min_ch()):
+            from ..ops.quant import int8_phase_conv_static
+            from ..ops.upsample_conv import PHASE_PADS6, phase_kernels6
+
             k6 = fold_kernel6(kernel)
+            pk6 = phase_kernels6(kernel)
             x_dt = x.astype(dt)
 
             def plain_core():
@@ -584,9 +647,14 @@ class UpConvBNReLU(nn.Module):
                     lhs_dilation=(2, 2),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-            core = _quant_conv_site(
-                self, x_dt, k6, (1, 1), [(3, 3), (3, 3)], None, dt,
-                plain_core, dynamic_fallback=False, lhs_dilation=(2, 2))
+            # int8 static via the PHASE decomposition (four non-dilated
+            # SAME k3 convs + interleave == the ld2 core, borders
+            # included): the ld2 int8 conv runs at bf16 rate (round-5
+            # negative), the phase convs hit the int8 2x peak
+            core = _quant_site(
+                self, x_dt, dt, plain_core,
+                static_fn=lambda s: int8_phase_conv_static(
+                    x_dt, pk6, PHASE_PADS6, s))
             y = apply_border_correction3x3(core, x_dt, kernel.astype(dt))
             if bias is not None:
                 y = y + bias.astype(y.dtype)

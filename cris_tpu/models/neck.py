@@ -42,9 +42,13 @@ class FPN(nn.Module):
     ) -> jnp.ndarray:
         v3, v4, v5 = imgs  # (52^2, in0) / (26^2, in1) / (13^2, in2), NHWC
         out0, out1, out2 = self.out_channels
+        # default OFF: XLA's TPU int8 conv path runs lhs_dilated convs at
+        # bf16 speed (no 2x -- tools/bench_int8_more.py ld2 rows), so
+        # quantizing these cores LOSES in-model (1000.2 -> 966.0 img/s,
+        # tools/ab_int8.py round 5). Opt back in with CRIS_INT8_UPFOLD=1.
         use_quant = (
             self.fold_bn and not train and quant_int8_enabled(self.quant_int8)
-            and os.environ.get("CRIS_INT8_UPFOLD", "1") == "1"
+            and os.environ.get("CRIS_INT8_UPFOLD", "0") == "1"
         )
 
         # fusion 1: gate v5 with the projected sentence state

@@ -98,6 +98,41 @@ def int8_conv2d_static(
     return y
 
 
+def int8_phase_conv_static(
+    x: jnp.ndarray,
+    pk: jnp.ndarray,
+    pads: Sequence[Sequence[int]],
+    act_scale: jnp.ndarray,
+) -> jnp.ndarray:
+    """int8 phase-decomposed upsample-fold core with a calibrated scale.
+
+    ``pk``: (2, 2, kh, kw, Ci, Co) per-output-phase kernels
+    (ops/upsample_conv.py phase_kernels6/4); ``pads``: per-phase-index
+    padding pair (PHASE_PADS6/4), applied as [pads[di], pads[dj]].
+
+    Quantizes x ONCE (static scale -> the pass fuses into the producer's
+    epilogue), runs four ordinary non-dilated int8 convs -- which DO hit
+    the int8 MXU 2x rate, unlike the lhs_dilated form (bench_int8_more
+    ld2 rows) -- and interleaves the phases. Returns f32 (B, 2H, 2W, Co)
+    == the ld2 core on the quantized operands, borders included."""
+    from .upsample_conv import interleave2x2
+
+    s = jnp.asarray(act_scale, jnp.float32)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                  -127, 127).astype(jnp.int8)
+    ys = []
+    for di in (0, 1):
+        for dj in (0, 1):
+            kq, k_scale = quantize_channelwise(pk[di, dj])
+            acc = jax.lax.conv_general_dilated(
+                xq, kq, (1, 1), [tuple(pads[di]), tuple(pads[dj])],
+                dimension_numbers=_DN,
+                preferred_element_type=jnp.int32,
+            )
+            ys.append(acc.astype(jnp.float32) * (s * k_scale))
+    return interleave2x2(*ys)
+
+
 def int8_conv2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

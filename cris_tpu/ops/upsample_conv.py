@@ -56,6 +56,55 @@ def fold_kernel6(k3: jnp.ndarray) -> jnp.ndarray:
     return k6.astype(k3.dtype)
 
 
+# bilinear phase-tap matrices rho[di][tap a][x-offset u] for the 2x
+# upsample: up_zero[2i+di] window row (2i+di-1+a) expressed over x rows
+# (i-1, i, i+1). The phase decomposition below turns the lhs_dilated
+# fold cores into ordinary non-dilated convs -- same useful MACs, but
+# int8-2x-eligible (XLA's TPU int8 conv runs lhs_dilated at bf16 rate;
+# tools/bench_int8_more.py ld2 rows, round 5).
+_PHASE_RHO = (
+    ((0.75, 0.25, 0.0), (0.25, 0.75, 0.0), (0.0, 0.75, 0.25)),  # di = 0
+    ((0.25, 0.75, 0.0), (0.0, 0.75, 0.25), (0.0, 0.25, 0.75)),  # di = 1
+)
+# per-phase padding for the k3 phase convs (both phases span x rows
+# i-1..i+1 -> SAME) and the k2 phase convs (di=0 spans i-1..i, di=1
+# spans i..i+1)
+PHASE_PADS6 = ((1, 1), (1, 1))
+PHASE_PADS4 = ((1, 0), (0, 1))
+
+
+def phase_kernels6(k3: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) -> (2, 2, 3, 3, Ci, Co) bilinear phase kernels.
+
+    interleave2x2(conv_same(x, pk[di, dj]) for di, dj) equals the
+    lhs_dilated fold_kernel6 core EXACTLY, borders included: the dilated
+    core's implicit zero extension of the upsample is linear in the
+    in-range x values, and the phase convs' zero padding reproduces it
+    (validated to f32 rounding on CPU, tests/test_ops.py)."""
+    rho = jnp.asarray(_PHASE_RHO, jnp.float32)  # (2, 3, 3): [d, a, u]
+    pk = jnp.einsum("dau,ebv,abio->deuvio", rho, rho, k3.astype(jnp.float32))
+    return pk.astype(k3.dtype)
+
+
+def phase_kernels4(k1: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1, Ci, Co) -> (2, 2, 2, 2, Ci, Co) bilinear phase kernels of
+    the fold_kernel4 (1x1 upsample-fold) core; pads PHASE_PADS4."""
+    t = jnp.asarray(((0.25, 0.75), (0.75, 0.25)), jnp.float32)  # [d, u]
+    pk = jnp.einsum("du,ev,io->deuvio", t, t, k1.astype(jnp.float32)[0, 0])
+    return pk.astype(k1.dtype)
+
+
+def interleave2x2(y00: jnp.ndarray, y01: jnp.ndarray,
+                  y10: jnp.ndarray, y11: jnp.ndarray) -> jnp.ndarray:
+    """Four (B, H, W, C) output phases -> (B, 2H, 2W, C):
+    out[2i+di, 2j+dj] = y_{di,dj}[i, j]."""
+    b, h, w, c = y00.shape
+    z = jnp.stack(
+        [jnp.stack([y00, y01], axis=3), jnp.stack([y10, y11], axis=3)],
+        axis=2)  # (B, H, 2, W, 2, C)
+    return z.reshape(b, 2 * h, 2 * w, c)
+
+
 def _up1d_zero(v: jnp.ndarray) -> jnp.ndarray:
     """(B, N, C) -> (B, 2N, C) transposed-conv x2 upsample (zero beyond
     the ends): even 2i = .75 v[i] + .25 v[i-1], odd 2i+1 = .75 v[i] +

@@ -275,6 +275,9 @@ def test_quant_int8_upfold_sites(monkeypatch):
 
     monkeypatch.setenv("CRIS_INT8_MIN_CH", "1")
     monkeypatch.setenv("CRIS_INT8_UPFOLD_MIN_CH", "1")
+    # the family defaults OFF (measured in-model negative, ab_int8 r5);
+    # this test opts in to keep the path correct for CRIS_INT8_UPFOLD=1
+    monkeypatch.setenv("CRIS_INT8_UPFOLD", "1")
     # engage the fused-upsample graph in the f32 test harness
     monkeypatch.setenv("CRIS_FUSE_UPSAMPLE", "1")
 

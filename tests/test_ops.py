@@ -216,6 +216,65 @@ def test_upsample2x_conv3x3_matches_chain():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_phase_decomposition_matches_ld2_cores():
+    """interleave2x2 of the four non-dilated phase convs == the
+    lhs_dilated fold cores EXACTLY, borders included (the dilated core's
+    implicit zero extension is linear in in-range x, which the phase
+    convs' zero padding reproduces) -- the int8 serving form of the
+    upsample-fold sites (the ld2 conv itself runs at bf16 rate under
+    int8; round-5 negative)."""
+    from cris_tpu.ops.upsample_conv import (
+        PHASE_PADS4, PHASE_PADS6, fold_kernel4, fold_kernel6, interleave2x2,
+        phase_kernels4, phase_kernels6,
+    )
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    r = np.random.RandomState(4)
+    for (h, w, ci, co) in [(10, 10, 8, 6), (7, 9, 4, 4), (5, 5, 3, 7)]:
+        x = jnp.asarray(r.randn(2, h, w, ci).astype(np.float32))
+        k3 = jnp.asarray(r.randn(3, 3, ci, co).astype(np.float32) * 0.2)
+        k1 = jnp.asarray(r.randn(1, 1, ci, co).astype(np.float32) * 0.2)
+
+        for pk, pads, kfold, fpad in (
+            (phase_kernels6(k3), PHASE_PADS6, fold_kernel6(k3), 3),
+            (phase_kernels4(k1), PHASE_PADS4, fold_kernel4(k1), 2),
+        ):
+            ref = jax.lax.conv_general_dilated(
+                x, kfold, (1, 1), [(fpad, fpad)] * 2, lhs_dilation=(2, 2),
+                dimension_numbers=dn)
+            ys = [
+                jax.lax.conv_general_dilated(
+                    x, pk[di, dj], (1, 1), [pads[di], pads[dj]],
+                    dimension_numbers=dn)
+                for di in (0, 1) for dj in (0, 1)
+            ]
+            got = interleave2x2(*ys)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_int8_phase_conv_static_close_to_ld2_core():
+    """The quantized phase core stays within the PTQ error band of the
+    exact ld2 core (same bound style as test_int8_conv2d_*)."""
+    from cris_tpu.ops.quant import int8_phase_conv_static
+    from cris_tpu.ops.upsample_conv import (
+        PHASE_PADS6, fold_kernel6, phase_kernels6,
+    )
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    r = np.random.RandomState(5)
+    x = jnp.asarray(r.randn(2, 9, 9, 8).astype(np.float32))
+    k3 = jnp.asarray(r.randn(3, 3, 8, 6).astype(np.float32) * 0.2)
+    ref = jax.lax.conv_general_dilated(
+        x, fold_kernel6(k3), (1, 1), [(3, 3)] * 2, lhs_dilation=(2, 2),
+        dimension_numbers=dn)
+    s = jnp.max(jnp.abs(x)) / 127.0
+    got = int8_phase_conv_static(x, phase_kernels6(k3), PHASE_PADS6, s)
+    rel = np.linalg.norm(np.asarray(got) - np.asarray(ref)) / (
+        np.linalg.norm(np.asarray(ref)) + 1e-9)
+    assert 0 < rel < 0.03, rel
+
+
 def test_upsample2x_conv3x3_gradients_match_chain():
     from cris_tpu.ops.resize import upsample2x
     from cris_tpu.ops.upsample_conv import upsample2x_conv3x3

@@ -5,8 +5,9 @@ each family's contribution is isolated (VERDICT r4 task 3).
 Arms (--settings comma list):
   0              bf16 (all int8 off)
   1              dynamic per-dispatch activation scales
-  static         full static coverage (QuantConv + pooled + s2d-stem +
-                 upsample-fold -- the production serving config)
+  static         the production serving config (QuantConv + pooled +
+                 s2d-stem; upsample-fold defaults OFF since round 5)
+  static_phase   production + upsample-fold via the phase decomposition
   static_base    QuantConv (min_ch-gated backbone convs) ONLY
   static_pooled  base + pooled-k2s2 sites
   static_stem    base + s2d-stem sites
@@ -42,6 +43,11 @@ ARMS = {
                     "CRIS_INT8_UPFOLD": "0"},
     "static_r4": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
                   "CRIS_INT8_UPFOLD": "0"},
+    # r4 + the upsample-fold family via the PHASE decomposition (the ld2
+    # int8 form measured -34 img/s round 5 and the family now defaults
+    # OFF; this arm measures the non-dilated phase rewrite)
+    "static_phase": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
+                     "CRIS_INT8_UPFOLD": "1"},
 }
 ARMS["static_noupfold"] = ARMS["static_r4"]
 # every knob any arm touches, cleared before each arm is applied

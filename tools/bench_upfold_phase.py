@@ -8,16 +8,21 @@ ab_int8): XLA's TPU int8 conv path runs lhs_dilated convs at bf16 speed
 img/s). The ld2 bf16 core executes ~9 MACs/output (190 TF/s on that
 count).
 
-The phase form: conv3x3(up2x_nearest(x)) splits by output phase
-(di,dj in {0,1}^2) into FOUR plain k2x2 convs on x directly -- each
-output pixel sees at most 2 distinct input rows/cols, so the 3x3 taps
-pair-sum into a 2x2 kernel per phase:
+The phase form: conv3x3(up2x_bilinear(x)) splits by output phase
+(di,dj in {0,1}^2) into FOUR plain k3x3 convs on x directly. The
+production upsample is bilinear align_corners=False (taps 1/4, 3/4 --
+ops/upsample_conv.py module docstring), so upsampled row 2i mixes
+x[i-1], x[i] with (1/4, 3/4) and row 2i+1 mixes x[i], x[i+1] with
+(3/4, 1/4); the conv3x3 window over three such rows spans x rows
+i-1..i+1, i.e. each phase is an ordinary 3x3 conv whose kernel is
 
-    rows(di=0) = (i-1, i) with row-weights (w0, w1+w2), pad (1,0)
-    rows(di=1) = (i, i+1) with row-weights (w0+w1, w2), pad (0,1)
+    k_phase[di,dj][u,v] = sum_ab w[a,b] rho[di][a,u] rho[dj][b,v]
+    rho[0] = [[3/4,1/4,0],[1/4,3/4,0],[0,3/4,1/4]]   (tap a -> offset u)
+    rho[1] = [[1/4,3/4,0],[0,3/4,1/4],[0,1/4,3/4]]
 
-(cols identically). That is 4 MACs/output -- 2.25x fewer than the ld2
-core -- in non-dilated convs that CAN hit the int8 2x rate. The open
+Same 9 useful MACs/output as the ld2 core, but in NON-dilated convs
+that run at full MXU rate AND are int8-2x-eligible (the ld2 form is
+not -- the measured ld2 negative this tool follows up on). The open
 cost is the phase interleave (B,H,W,2,2,C)->(B,2H,2W,C): round-1
 measured stack+reshape interleaves as fusion-killers for pure upsample;
 here convs dominate, so it may amortize. Forms per site:
@@ -49,27 +54,28 @@ BATCH = 32
 N_SHORT, N_LONG = 8, 56
 
 
+RHO = (
+    ((0.75, 0.25, 0.0), (0.25, 0.75, 0.0), (0.0, 0.75, 0.25)),  # di=0
+    ((0.25, 0.75, 0.0), (0.0, 0.75, 0.25), (0.0, 0.25, 0.75)),  # di=1
+)
+
+
 def phase_kernels(w):
-    """(3,3,Ci,Co) -> {(di,dj): (2,2,Ci,Co)} pair-summed phase kernels."""
+    """(3,3,Ci,Co) -> {(di,dj): (3,3,Ci,Co)} bilinear phase kernels."""
     import jax.numpy as jnp
 
-    rows = {0: (w[0], w[1] + w[2]), 1: (w[0] + w[1], w[2])}
-
-    def pair_cols(r2):  # r2: (2, 3, Ci, Co) -> {dj: (2,2,Ci,Co)}
-        return {
-            0: jnp.stack([r2[:, 0], r2[:, 1] + r2[:, 2]], axis=1),
-            1: jnp.stack([r2[:, 0] + r2[:, 1], r2[:, 2]], axis=1),
-        }
-
+    wf = w.astype(jnp.float32)
     out = {}
-    for di, (ra, rb) in rows.items():
-        r2 = jnp.stack([ra, rb], axis=0)  # (2, 3, Ci, Co)
-        for dj, k in pair_cols(r2).items():
-            out[(di, dj)] = k
+    for di in (0, 1):
+        for dj in (0, 1):
+            r0 = jnp.asarray(RHO[di], jnp.float32)
+            r1 = jnp.asarray(RHO[dj], jnp.float32)
+            out[(di, dj)] = jnp.einsum(
+                "au,bv,ab...->uv...", r0, r1, wf).astype(w.dtype)
     return out
 
 
-PHASE_PAD = {0: (1, 0), 1: (0, 1)}
+PHASE_PAD = {0: (1, 1), 1: (1, 1)}
 
 
 def main():
@@ -107,6 +113,27 @@ def main():
              jnp.stack([ys[(1, 0)], ys[(1, 1)]], axis=3)],
             axis=2)  # (B,H,2,W,2,C)
         return z.reshape(b, 2 * h, 2 * w_, c)
+
+    # correctness gate: interior of the interleaved phase form must match
+    # the production fold to f32 rounding (borders legitimately differ:
+    # clamped-source upsample vs the phase convs' zero padding -- a
+    # production wiring would add thin border corrections like the ld2
+    # path's)
+    from cris_tpu.ops.upsample_conv import upsample2x_conv3x3
+
+    x0 = jnp.asarray(r.randn(2, 8, 8, 5).astype(np.float32))
+    w0 = jnp.asarray(r.randn(3, 3, 5, 4).astype(np.float32) * 0.2)
+    ref = upsample2x_conv3x3(x0, w0, None)
+    ys0 = {p: conv(x0, k, [PHASE_PAD[p[0]], PHASE_PAD[p[1]]])
+           for p, k in phase_kernels(w0).items()}
+    got = interleave(ys0)
+    err = float(jnp.max(jnp.abs(
+        ref[:, 2:-2, 2:-2] - got[:, 2:-2, 2:-2])))
+    print(f"phase-form interior max err vs production fold: {err:.2e}",
+          flush=True)
+    # CPU-exact to 7e-7 (validated round 5); on TPU the default-precision
+    # f32 convs run bf16 passes, so allow that rounding here
+    assert err < 0.05, err
 
     def make_forms(k3):
         from cris_tpu.ops.upsample_conv import fold_kernel6

@@ -48,6 +48,14 @@ QUEUES = {
         ("tools.bench_batch_sweep", []),
         ("tools.conv_audit#train", ["--mode", "train", "--no-model"]),
     ],
+    # round-5 second wave: the corrected (bilinear) phase microbench,
+    # the token-flattened-dots in-model A/B (eval + train), and the
+    # phase-form int8 in-model arm
+    "C": [
+        ("tools.bench_upfold_phase", []),
+        ("tools.ab_flat_dots", []),
+        ("tools.ab_int8#phase", ["--settings", "0,static,static_phase"]),
+    ],
 }
 
 

@@ -2,7 +2,7 @@
 
   python tools/serve.py --config config/refcoco/cris_r50.yaml \
       [--checkpoint exp/refcoco/CRIS_R50] [--host 0.0.0.0] [--port 8080] \
-      [--max-batch 8] [--opts KEY VALUE ...]
+      [--max-batch 16] [--opts KEY VALUE ...]
 
 Endpoints:
   GET  /healthz   -> {"status": "ok", "input_size": ...}
@@ -30,7 +30,8 @@ def main():
                         help="checkpoint dir (default {output_dir})")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
-    parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--max-batch", type=int, default=16,
+                    help="measured serving optimum (tools/bench_batch_sweep.py)")
     parser.add_argument("--no-fold-bn", action="store_true")
     parser.add_argument("--opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
