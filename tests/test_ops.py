@@ -454,3 +454,33 @@ def test_quantconv_quantized_path_close():
     ref = np.asarray(plain.apply(v, x))
     rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
     assert 0 < rel < 0.02, rel
+
+
+@pytest.mark.parametrize("env,dtype", [
+    ("1", np.float32),       # forced flat at f32
+    (None, np.float32),      # auto: f32 keeps the 3D reference form
+    (None, "bfloat16"),      # auto: sub-f32 flattens
+])
+def test_token_flat_matches_3d_dense(monkeypatch, env, dtype):
+    """layers.token_flat: the flattened (B*S, E) Dense must equal the
+    3D-batched form (the flatten exists purely because XLA:TPU lowers the
+    3D projection dot ~2.4x slower -- CLAUDE.md round-5 train audit)."""
+    from flax import linen as nn
+
+    from cris_tpu.models.layers import token_flat
+
+    if env is None:
+        monkeypatch.delenv("CRIS_FLAT_DOTS", raising=False)
+    else:
+        monkeypatch.setenv("CRIS_FLAT_DOTS", env)
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(2, 7, 24).astype(np.float32)).astype(
+        jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+    dense = nn.Dense(16, dtype=x.dtype, param_dtype=jnp.float32)
+    v = dense.init(jax.random.PRNGKey(1), x)
+    fn = lambda t: dense.apply(v, t)
+    got = np.asarray(token_flat(fn, x), np.float32)
+    ref = np.asarray(fn(x), np.float32)
+    assert got.shape == ref.shape == (2, 7, 16)
+    np.testing.assert_allclose(got, ref, rtol=2e-2 if dtype == "bfloat16"
+                               else 1e-5, atol=1e-5)
