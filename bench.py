@@ -20,7 +20,9 @@ Metrics (all batch 32, 416x416, bf16, per chip):
      mode (static-calibrated activation scales, ops/quant.py); NOT the
      parity path (quantization error ~1%/conv). vs_baseline = value/100
      like metric 1. Round-5 family attribution (tools/ab_int8.py):
-     bf16 876.6 -> QuantConv 938.8 -> +pooled/+s2d-stem 1000.2 img/s.
+     bf16 876.6 -> QuantConv 938.8 -> +pooled/+s2d-stem 1000.2 img/s;
+     + phase-form upsample-fold int8 measured +3.5% on top (954.8 ->
+     988.6 same-session, now default via CRIS_INT8_UPFOLD=1).
   6. cris_r50_eval_int8_throughput_416px_b16 -- the same int8 path at the
      measured SERVING optimum batch (tools/bench_batch_sweep.py round 5:
      int8 peaks at b16 -- 1016.1 vs 999.5 b32 / 957.9 b64 -- and b16

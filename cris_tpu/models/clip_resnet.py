@@ -309,8 +309,8 @@ class AttentionPool2d(nn.Module):
         grid_pos = resize2d(grid_pos, (h, w), "bicubic", align_corners=False)
         tokens = x.reshape(b, h * w, c) + grid_pos.reshape(1, h * w, c).astype(x.dtype)
 
-        # projections token-flattened: 3D-batched dots lower ~2.4x slower
-        # than the identical 2D form on v5e (layers.token_flat)
+        # token_flat: opt-in CRIS_FLAT_DOTS=1 A/B hook (default off --
+        # the flatten measured in-model negative; layers.token_flat)
         dense = lambda feats, name: nn.Dense(
             feats, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )

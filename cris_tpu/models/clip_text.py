@@ -29,8 +29,8 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # projections token-flattened (layers.token_flat): the 3D-batched
-        # dot lowers slower than the identical 2D form on v5e
+        # token_flat: opt-in CRIS_FLAT_DOTS=1 A/B hook (default off --
+        # the flatten measured in-model negative; layers.token_flat)
         dense = lambda feats, name: nn.Dense(
             feats, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )

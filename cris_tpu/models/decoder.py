@@ -46,8 +46,8 @@ class MultiheadAttention(nn.Module):
         key_padding_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
-        # projections run token-flattened: the 3D-batched dot lowers
-        # ~2.4x slower on v5e than the identical 2D form (layers.token_flat)
+        # token_flat: opt-in CRIS_FLAT_DOTS=1 A/B hook (default off --
+        # the flatten measured in-model negative; layers.token_flat)
         dense = lambda name: nn.Dense(
             self.d_model, dtype=self.dtype, param_dtype=jnp.float32, name=name
         )
@@ -110,8 +110,8 @@ class TransformerDecoderLayer(nn.Module):
         y = ln("cross_attn_norm")(y)
         vis = vis + drop("dropout2")(y, deterministic=not train)
 
-        # FFN with internal LayerNorm (layers.py:209-212); dots run
-        # token-flattened (layers.token_flat)
+        # FFN with internal LayerNorm (layers.py:209-212); token_flat
+        # is the opt-in CRIS_FLAT_DOTS A/B hook (default off)
         y = ln("norm3")(vis)
         y = token_flat(nn.Dense(
             self.dim_feedforward, dtype=self.dtype, param_dtype=jnp.float32,

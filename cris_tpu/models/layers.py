@@ -205,12 +205,14 @@ def upfold_quant_min_ch() -> int:
     Separate env knob so the family can be excluded wholesale
     (CRIS_INT8_UPFOLD_MIN_CH=99999) in A/B runs.
 
-    NOTE: the whole family defaults OFF (CRIS_INT8_UPFOLD, read at the
-    FPN/Projector wiring): XLA's TPU int8 conv path runs lhs_dilated
-    convs at bf16 speed, not 2x (tools/bench_int8_more.py ld2 rows:
-    52^2 512->256 k6 ld2 4.31 bf16 vs 4.45 ms int8), so quantizing them
-    only adds the quantize pass -- in-model 1000.2 -> 966.0 img/s
-    (tools/ab_int8.py round 5)."""
+    NOTE: the family defaults ON and routes through the PHASE
+    decomposition (int8_phase_conv_static): the direct lhs_dilated int8
+    conv runs at bf16 speed, not 2x (tools/bench_int8_more.py ld2 rows:
+    52^2 512->256 k6 ld2 4.31 bf16 vs 4.45 ms int8; quantizing THAT
+    form measured 1000.2 -> 966.0 img/s in-model), but the four
+    non-dilated phase convs DO hit the 2x rate -- in-model 954.8 ->
+    988.6 img/s (tools/ab_int8.py round 5). CRIS_INT8_UPFOLD=0 opts
+    the family out."""
     return int(os.environ.get("CRIS_INT8_UPFOLD_MIN_CH", "256"))
 
 
@@ -494,17 +496,19 @@ def token_flat(fn, x: jnp.ndarray) -> jnp.ndarray:
     """Apply ``fn`` (a Dense / Dense chain over the last dim) to a
     token tensor (B, S, E) through a FLATTENED (B*S, E) view.
 
+    DEFAULT OFF -- measured in-model NEGATIVE (round 5). Motivation:
     XLA:TPU lowers the 3D-batched projection dot ~2.4x slower than the
-    mathematically identical 2D form (round-5 train audit:
-    (32,676,512)@(512,512) c[2]:[0] runs 80.9 TF/s standalone vs 197.8
-    flattened, tools/bench_int8_dot.py) -- ~16 ms of the train step and
-    ~2 ms of the eval step sit in these dots. Auto-gated like the other
-    graph transforms: flatten for sub-f32 compute dtypes, keep the
-    reference 3D op order for f32 (exact torch-trajectory parity and
-    pinned goldens; the accumulation ORDER can differ between forms).
-    CRIS_FLAT_DOTS=0/1 overrides (A/B hook)."""
+    mathematically identical 2D form STANDALONE (train audit:
+    (32,676,512)@(512,512) c[2]:[0] runs 80.9 TF/s vs 197.8 flattened,
+    tools/bench_int8_dot.py; ~16 ms of the train step nominally). But
+    in-model (tools/ab_flat_dots.py) the flatten LOSES: eval 883.4 ->
+    847.8 img/s, train 146.8 -> 154.2 ms -- the reshapes break XLA's
+    fusion context around the dots (same lesson as the round-3
+    bottleneck kernel and round-4 s2d tier 2: standalone per-op wins do
+    not survive in-context fusion; only in-model A/Bs are decisive).
+    Kept as an A/B hook: CRIS_FLAT_DOTS=1 opts in."""
     env = os.environ.get("CRIS_FLAT_DOTS")
-    flat = (x.dtype != jnp.float32) if env is None else env == "1"
+    flat = env == "1"
     if not flat or x.ndim <= 2:
         return fn(x)
     lead = x.shape[:-1]

@@ -42,13 +42,14 @@ class FPN(nn.Module):
     ) -> jnp.ndarray:
         v3, v4, v5 = imgs  # (52^2, in0) / (26^2, in1) / (13^2, in2), NHWC
         out0, out1, out2 = self.out_channels
-        # default OFF: XLA's TPU int8 conv path runs lhs_dilated convs at
-        # bf16 speed (no 2x -- tools/bench_int8_more.py ld2 rows), so
-        # quantizing these cores LOSES in-model (1000.2 -> 966.0 img/s,
-        # tools/ab_int8.py round 5). Opt back in with CRIS_INT8_UPFOLD=1.
+        # default ON via the PHASE decomposition (four non-dilated convs,
+        # int8-2x-eligible): in-model +3.5% (954.8 -> 988.6 img/s,
+        # tools/ab_int8.py round 5). The direct ld2 int8 form was a
+        # NEGATIVE (lhs_dilated int8 runs at bf16 rate) -- the phase
+        # rewrite is what made this family quantizable.
         use_quant = (
             self.fold_bn and not train and quant_int8_enabled(self.quant_int8)
-            and os.environ.get("CRIS_INT8_UPFOLD", "0") == "1"
+            and os.environ.get("CRIS_INT8_UPFOLD", "1") == "1"
         )
 
         # fusion 1: gate v5 with the projected sentence state

@@ -50,13 +50,14 @@ class Projector(nn.Module):
 
         # visual trunk: os16 -> os4
         if fuse:
-            # default OFF: int8 lhs_dilated convs run at bf16 speed (no
-            # 2x), so this family LOSES in-model (tools/ab_int8.py r5:
-            # 1000.2 -> 966.0 img/s). Opt back in with CRIS_INT8_UPFOLD=1.
+            # default ON via the PHASE decomposition (non-dilated convs,
+            # int8-2x-eligible; +3.5% in-model, tools/ab_int8.py r5).
+            # The direct ld2 int8 form was a negative -- CRIS_INT8_UPFOLD=0
+            # opts the family out.
             use_quant = (
                 self.fold_bn and not train
                 and quant_int8_enabled(self.quant_int8)
-                and os.environ.get("CRIS_INT8_UPFOLD", "0") == "1"
+                and os.environ.get("CRIS_INT8_UPFOLD", "1") == "1"
             )
             x = UpConvBNReLU(2 * c, dtype=self.dtype, fold_bn=self.fold_bn,
                              quant_int8=use_quant, name="vis_conv1")(x, train)

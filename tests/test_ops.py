@@ -457,9 +457,9 @@ def test_quantconv_quantized_path_close():
 
 
 @pytest.mark.parametrize("env,dtype", [
-    ("1", np.float32),       # forced flat at f32
-    (None, np.float32),      # auto: f32 keeps the 3D reference form
-    (None, "bfloat16"),      # auto: sub-f32 flattens
+    ("1", np.float32),       # opted-in flat at f32
+    (None, np.float32),      # default: 3D reference form
+    ("1", "bfloat16"),       # opted-in flat at bf16
 ])
 def test_token_flat_matches_3d_dense(monkeypatch, env, dtype):
     """layers.token_flat: the flattened (B*S, E) Dense must equal the
