@@ -59,7 +59,7 @@ def _dbg(msg):
 BATCH = 32
 N_SHORT = 2
 N_LONG = 12
-DEADLINE_S = float(os.environ.get("CRIS_BENCH_DEADLINE", "960"))
+DEADLINE_S = float(os.environ.get("CRIS_BENCH_DEADLINE", "1500"))
 STALL_S = 30.0  # a 2-step scan normally returns in <1s; >30s = relay stall
 START = time.monotonic()
 
@@ -398,6 +398,13 @@ def warmup_device():
 
 
 def main():
+    # persistent compile cache: remote-compiled executables serialize back
+    # (validated round 4, tools/cache_check.py) -- without this every bench
+    # process re-pays ~5-20 s per program and the tail metrics go
+    # deadline-degraded (observed in the round-5 pre-flight runs)
+    from cris_tpu.cli import setup_compilation_cache
+
+    setup_compilation_cache()
     run_host_input_metric()
     warmup_device()
     # Headline first and with the biggest budget: it must always print.

@@ -5,9 +5,12 @@ each family's contribution is isolated (VERDICT r4 task 3).
 Arms (--settings comma list):
   0              bf16 (all int8 off)
   1              dynamic per-dispatch activation scales
-  static         the production serving config (QuantConv + pooled +
-                 s2d-stem; upsample-fold defaults OFF since round 5)
-  static_phase   production + upsample-fold via the phase decomposition
+  static         the production serving config (tracks the model's
+                 defaults: QuantConv + pooled + s2d-stem + phase-form
+                 upsample-fold since the round-5 flip)
+  static_phase   static with upsample-fold (phase form) force-ON --
+                 identical to `static` since the default flip; kept so
+                 recorded runs stay comparable
   static_base    QuantConv (min_ch-gated backbone convs) ONLY
   static_pooled  base + pooled-k2s2 sites
   static_stem    base + s2d-stem sites
@@ -43,9 +46,9 @@ ARMS = {
                     "CRIS_INT8_UPFOLD": "0"},
     "static_r4": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
                   "CRIS_INT8_UPFOLD": "0"},
-    # r4 + the upsample-fold family via the PHASE decomposition (the ld2
-    # int8 form measured -34 img/s round 5 and the family now defaults
-    # OFF; this arm measures the non-dilated phase rewrite)
+    # r4 + the upsample-fold family via the PHASE decomposition (won
+    # in-model 954.8 -> 988.6 img/s and is now the production default;
+    # the direct ld2 int8 form had measured -34 img/s)
     "static_phase": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
                      "CRIS_INT8_UPFOLD": "1"},
 }
