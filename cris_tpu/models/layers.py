@@ -466,6 +466,13 @@ class ConvBNReLU(nn.Module):
 
     fold_bn: inference-only variant with the BN affine folded into the conv
     weights (use cris_tpu.checkpoint.fold_batchnorm to transform params).
+
+    quant_int8: int8 serving site on the fold_bn path (the FPN/projector
+    "head" convs -- the round-5 int8-mode audit found ~5.8 ms of
+    near-roofline bf16 head convs left after the backbone families were
+    quantized). QuantConv's parameter tree is identical to nn.Conv's, so
+    checkpoints and the fold_batchnorm transform are unchanged; the site
+    engages only when padding is the SAME padding QuantConv implements.
     """
 
     features: int
@@ -474,9 +481,15 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     dtype: Optional[Dtype] = None
     fold_bn: bool = False
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if (self.fold_bn and self.quant_int8 and not train
+                and self.padding == self.kernel_size // 2):
+            return nn.relu(QuantConv(
+                self.features, self.kernel_size, strides=self.stride,
+                use_bias=True, dtype=self.dtype, name="conv")(x))
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -722,6 +735,7 @@ class CoordConv(nn.Module):
     padding: int = 1
     dtype: Optional[Dtype] = None
     fold_bn: bool = False
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -739,5 +753,6 @@ class CoordConv(nn.Module):
             self.padding,
             dtype=self.dtype,
             fold_bn=self.fold_bn,
+            quant_int8=self.quant_int8,
             name="conv1",
         )(x, train)

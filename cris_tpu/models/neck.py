@@ -51,10 +51,19 @@ class FPN(nn.Module):
             self.fold_bn and not train and quant_int8_enabled(self.quant_int8)
             and os.environ.get("CRIS_INT8_UPFOLD", "1") == "1"
         )
+        # the FPN "head" conv family (v-projections, level projections,
+        # CoordConv block): the round-5 int8-mode audit measured ~5.8 ms
+        # of these still running bf16 at 50-98% peak after every backbone
+        # family was quantized. CRIS_INT8_HEAD=0 excludes the family.
+        use_quant_head = (
+            self.fold_bn and not train and quant_int8_enabled(self.quant_int8)
+            and os.environ.get("CRIS_INT8_HEAD", "1") == "1"
+        )
 
         # fusion 1: gate v5 with the projected sentence state
         state = LinearBNReLU(out2, dtype=self.dtype, fold_bn=self.fold_bn, name="txt_proj")(state, train)
-        f5 = ConvBNReLU(out2, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="f1_v_proj")(v5, train)
+        f5 = ConvBNReLU(out2, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn,
+                        quant_int8=use_quant_head, name="f1_v_proj")(v5, train)
         f5 = f5 * state[:, None, None, :]
         f5 = BatchNorm(out2, dtype=self.dtype, name="norm_layer")(f5, train)
         f5 = nn.relu(f5)
@@ -62,7 +71,8 @@ class FPN(nn.Module):
         fuse = auto_fuse_upsample(self.fuse_upsample, self.dtype)
 
         # fusion 2: v4 + upsampled f5
-        f4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f2_v_proj")(v4, train)
+        f4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn,
+                        quant_int8=use_quant_head, name="f2_v_proj")(v4, train)
         if fuse:
             f4 = CatUpConvBNReLU(out1, dtype=self.dtype, fold_bn=self.fold_bn,
                                  quant_int8=use_quant, name="f2_cat")(
@@ -74,16 +84,21 @@ class FPN(nn.Module):
             )
 
         # fusion 3: pooled v3 + f4
-        f3 = ConvBNReLU(out0, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f3_v_proj")(v3, train)
+        f3 = ConvBNReLU(out0, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn,
+                        quant_int8=use_quant_head, name="f3_v_proj")(v3, train)
         f3 = avg_pool2d(f3, 2, 2)
-        f3 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="f3_cat")(
+        f3 = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn,
+                        quant_int8=use_quant_head, name="f3_cat")(
             jnp.concatenate([f3, f4], axis=-1), train
         )
 
         # fusion 4: project all three levels to out1 and aggregate at 26x26
-        fq5 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj5")(f5, train)
-        fq4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj4")(f4, train)
-        fq3 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="f4_proj3")(f3, train)
+        fq5 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn,
+                         quant_int8=use_quant_head, name="f4_proj5")(f5, train)
+        fq4 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn,
+                         quant_int8=use_quant_head, name="f4_proj4")(f4, train)
+        fq3 = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn,
+                         quant_int8=use_quant_head, name="f4_proj3")(f3, train)
         if fuse:
             fq = CatUpConvBNReLU(out1, dtype=self.dtype, fold_bn=self.fold_bn,
                                  quant_int8=use_quant, name="aggr")(
@@ -92,6 +107,8 @@ class FPN(nn.Module):
             fq5 = upsample2x(fq5)
             fq = jnp.concatenate([fq3, fq4, fq5], axis=-1)
             fq = ConvBNReLU(out1, 1, 0, dtype=self.dtype, fold_bn=self.fold_bn, name="aggr")(fq, train)
-        fq = CoordConv(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="coordconv_0")(fq, train)
-        fq = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn, name="coordconv_1")(fq, train)
+        fq = CoordConv(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn,
+                       quant_int8=use_quant_head, name="coordconv_0")(fq, train)
+        fq = ConvBNReLU(out1, 3, 1, dtype=self.dtype, fold_bn=self.fold_bn,
+                        quant_int8=use_quant_head, name="coordconv_1")(fq, train)
         return fq  # (B, 26, 26, out1)

@@ -18,8 +18,8 @@ from flax import linen as nn
 
 from ..ops.dynamic_conv import dynamic_conv2d
 from ..ops.resize import upsample2x
-from .layers import (ConvBNReLU, UpConvBNReLU, auto_fuse_upsample,
-                     quant_int8_enabled)
+from .layers import (ConvBNReLU, QuantConv, UpConvBNReLU,
+                     auto_fuse_upsample, quant_int8_enabled)
 
 Dtype = Any
 
@@ -70,10 +70,19 @@ class Projector(nn.Module):
             x = upsample2x(x)
             x = ConvBNReLU(c, 3, 1, dtype=self.dtype,
                            fold_bn=self.fold_bn, name="vis_conv2")(x, train)
-        x = nn.Conv(
-            c, (1, 1), use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
-            name="vis_out",
-        )(x)
+        # head-family int8 site (same param tree as nn.Conv): the 104^2
+        # 256->256 1x1 measured 0.86 ms bf16 vs 0.49 int8 in the round-5
+        # int8-mode audit; CRIS_INT8_HEAD=0 excludes the family
+        if (self.fold_bn and not train
+                and quant_int8_enabled(self.quant_int8)
+                and os.environ.get("CRIS_INT8_HEAD", "1") == "1"):
+            x = QuantConv(c, 1, use_bias=True, dtype=self.dtype,
+                          name="vis_out")(x)
+        else:
+            x = nn.Conv(
+                c, (1, 1), use_bias=True, dtype=self.dtype,
+                param_dtype=jnp.float32, name="vis_out",
+            )(x)
 
         # textual kernel generator: (B, word_dim) -> per-sample (C, k, k) + bias
         b = x.shape[0]

@@ -456,3 +456,55 @@ def test_percentile_calibration(monkeypatch):
         {**folded_vars, "quant": scales_pct}, img, word, train=False))
     rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
     assert 0 < rel < 0.1, rel
+
+
+def test_quant_int8_head_sites(monkeypatch):
+    """int8 coverage of the FPN/projector "head" conv family (ConvBNReLU/
+    CoordConv fold_bn sites + projector vis_out; round-5 int8-mode audit
+    follow-up): calibration sows their scales, the static path engages
+    within the PTQ band, and CRIS_INT8_HEAD=0 excludes the family."""
+    from cris_tpu.checkpoint import calibrate_act_scales, fold_batchnorm
+
+    monkeypatch.setenv("CRIS_INT8_MIN_CH", "1")
+
+    model = tiny_cris(dropout=0.0, dtype=None)
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    word = jnp.asarray(rng.randint(1, 49000, (2, 17)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, word, train=False)
+
+    folded_model = dataclasses.replace(model, fold_bn=True, fuse_pool=True)
+    folded_vars = fold_batchnorm(jax.tree_util.tree_map(np.asarray, variables))
+    ref = np.asarray(folded_model.apply(folded_vars, img, word, train=False))
+
+    quant_model = dataclasses.replace(folded_model, quant_int8=True)
+    scales = calibrate_act_scales(quant_model, folded_vars, [(img, word)])
+    flat = {
+        "/".join(map(str, k)).replace("['", "").replace("']", "")
+        for k, _ in jax.tree_util.tree_flatten_with_path(scales)[0]
+    }
+    for site in (
+        "neck/f2_v_proj/conv/act_scale",
+        "neck/f4_proj4/conv/act_scale",
+        "neck/coordconv_0/conv1/conv/act_scale",
+        "neck/coordconv_1/conv/act_scale",
+        "proj/vis_out/act_scale",
+    ):
+        assert site in flat, (site, sorted(flat)[:20])
+
+    got = np.asarray(quant_model.apply(
+        {**folded_vars, "quant": scales}, img, word, train=False))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert 0 < rel < 0.1, rel
+    thr = np.log(0.35 / 0.65)
+    assert np.mean((got > thr) == (ref > thr)) > 0.97
+
+    # CRIS_INT8_HEAD=0 excludes the family: no head scales sown
+    monkeypatch.setenv("CRIS_INT8_HEAD", "0")
+    scales_off = calibrate_act_scales(quant_model, folded_vars, [(img, word)])
+    flat_off = {
+        "/".join(map(str, k)).replace("['", "").replace("']", "")
+        for k, _ in jax.tree_util.tree_flatten_with_path(scales_off)[0]
+    }
+    assert "neck/f2_v_proj/conv/act_scale" not in flat_off
+    assert "proj/vis_out/act_scale" not in flat_off

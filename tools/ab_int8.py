@@ -16,6 +16,7 @@ Arms (--settings comma list):
   static_stem    base + s2d-stem sites
   static_r4      base + pooled + stem (the exact round-4 landed config;
                  reproduces BENCH_r04's 998.2 arm) == static_noupfold
+  static_nohead  production minus the FPN/projector head-conv family
 
 Run AFTER tools/bench_int8.py / bench_int8_more.py (per-shape microbench)
 confirms the int8 conv wins standalone; this is the decisive number.
@@ -38,19 +39,25 @@ ARMS = {
     "static": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1"},
     "static_base": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
                     "CRIS_INT8_POOLED_MIN_CH": "999999",
-                    "CRIS_INT8_STEM": "0", "CRIS_INT8_UPFOLD": "0"},
+                    "CRIS_INT8_STEM": "0", "CRIS_INT8_UPFOLD": "0",
+                    "CRIS_INT8_HEAD": "0"},
     "static_pooled": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
-                      "CRIS_INT8_STEM": "0", "CRIS_INT8_UPFOLD": "0"},
+                      "CRIS_INT8_STEM": "0", "CRIS_INT8_UPFOLD": "0",
+                      "CRIS_INT8_HEAD": "0"},
     "static_stem": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
                     "CRIS_INT8_POOLED_MIN_CH": "999999",
-                    "CRIS_INT8_UPFOLD": "0"},
+                    "CRIS_INT8_UPFOLD": "0", "CRIS_INT8_HEAD": "0"},
     "static_r4": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
-                  "CRIS_INT8_UPFOLD": "0"},
+                  "CRIS_INT8_UPFOLD": "0", "CRIS_INT8_HEAD": "0"},
     # r4 + the upsample-fold family via the PHASE decomposition (won
     # in-model 954.8 -> 988.6 img/s and is now the production default;
     # the direct ld2 int8 form had measured -34 img/s)
     "static_phase": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
-                     "CRIS_INT8_UPFOLD": "1"},
+                     "CRIS_INT8_UPFOLD": "1", "CRIS_INT8_HEAD": "0"},
+    # production minus the FPN/projector head-conv family (round-5
+    # int8-mode audit follow-up): isolates the head sites' contribution
+    "static_nohead": {"CRIS_INT8": "1", "CRIS_INT8_STATIC": "1",
+                      "CRIS_INT8_HEAD": "0"},
 }
 ARMS["static_noupfold"] = ARMS["static_r4"]
 # every knob any arm touches, cleared before each arm is applied
